@@ -1,0 +1,256 @@
+"""torch <-> Flax parameter conversion.
+
+Two jobs:
+ 1. Map a torch ``state_dict`` of the reference backbones
+    (`/root/reference/src/models.py`: MinimalResNet / MinimalUNet / UBlock /
+    EmbeddingModule, saved as whole pickles by `src/utils/train.py:62-63`)
+    onto this framework's Flax parameter trees.
+ 2. Unpickle reference ``backbone_*.pt`` files *without importing the
+    reference package*, via stub classes (see `load_torch_pickle`).
+
+Layout conventions:
+ - torch Conv2d weight [O, I, kh, kw]  -> flax kernel [kh, kw, I, O]
+ - torch Linear weight [O, I]          -> flax kernel [I, O]
+ - torch ConvTranspose2d weight [I, O, kh, kw] -> flax ConvTranspose
+   (transpose_kernel=True) kernel [kh, kw, O, I]
+ - torch GroupNorm weight/bias         -> flax scale/bias
+ - torch Embedding weight              -> flax Embed embedding
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def conv_kernel(w) -> np.ndarray:
+    """torch [O, I, kh, kw] -> flax [kh, kw, I, O]."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def conv_transpose_kernel(w) -> np.ndarray:
+    """torch ConvTranspose2d [I, O, kh, kw] -> flax transpose_kernel=True
+    kernel [kh, kw, O, I]."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def dense_kernel(w) -> np.ndarray:
+    """torch [O, I] -> flax [I, O]."""
+    return _np(w).transpose(1, 0)
+
+
+def _conv_entry(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": conv_kernel(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _dense_entry(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": dense_kernel(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _norm_entry(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def resnet_params_from_torch(
+    sd: Mapping[str, Any], *, num_layers: int, normalization: Optional[str] = None,
+    add_one: bool = True, conditional: bool = False,
+) -> Dict[str, Any]:
+    """Map a reference MinimalResNet state_dict onto our MinimalResNet tree.
+
+    torch module layout: src/models.py:139-157.
+    """
+    params: Dict[str, Any] = {}
+    if conditional:
+        params["embedding"] = {
+            "class_embeddings": {
+                "embedding": _np(sd["embedding.class_embeddings.weight"])
+            }
+        }
+    params["up_projection"] = {"conv": _conv_entry(sd, "up_projection")}
+
+    n_embs = num_layers + (1 if add_one else 0)
+    for i in range(n_embs):
+        params[f"emb_{i}"] = {
+            "dense": _dense_entry(sd, f"embs.{i}.0"),
+            "norm": _norm_entry(sd, f"embs.{i}.1"),
+        }
+    for i in range(num_layers):
+        params[f"conv_{i}"] = {"conv": _conv_entry(sd, f"convs.{i}.0")}
+        if normalization is not None:
+            params[f"conv_norm_{i}"] = _norm_entry(sd, f"convs.{i}.1")
+
+    if normalization is None:
+        params["down_projection"] = {"conv": _conv_entry(sd, "down_projection")}
+    else:
+        params["down_norm"] = _norm_entry(sd, "down_projection.0")
+        params["down_projection"] = {"conv": _conv_entry(sd, "down_projection.1")}
+    return params
+
+
+def _ublock_params_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Map a torch UBlock (src/models.py:285-312) under `prefix`.
+
+    The torch block is one nn.Sequential mixing convs / norms / ReLUs; convs
+    are 4-D weights, norms 1-D — classify by ndim in index order.
+    """
+    params: Dict[str, Any] = {"emb_dense": _dense_entry(sd, f"{prefix}.emb.1")}
+    idxs = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(re.escape(prefix) + r"\.model\.(\d+)\.weight$", k))
+        }
+    )
+    n_conv = n_norm = 0
+    for idx in idxs:
+        w = _np(sd[f"{prefix}.model.{idx}.weight"])
+        if w.ndim == 4:
+            params[f"conv_{n_conv}"] = {"conv": _conv_entry(sd, f"{prefix}.model.{idx}")}
+            n_conv += 1
+        else:
+            params[f"norm_{n_norm}"] = _norm_entry(sd, f"{prefix}.model.{idx}")
+            n_norm += 1
+    return params
+
+
+def unet_params_from_torch(
+    sd: Mapping[str, Any], *, n_feature_blocks: int, conditional: bool = False,
+    last_norm: bool = False,
+) -> Dict[str, Any]:
+    """Map a reference MinimalUNet state_dict (src/models.py:212-237)."""
+    params: Dict[str, Any] = {}
+    if conditional:
+        params["embedding"] = {
+            "class_embeddings": {
+                "embedding": _np(sd["embedding.class_embeddings.weight"])
+            }
+        }
+    for i in range(n_feature_blocks):
+        params[f"feature_block_{i}"] = _ublock_params_from_torch(
+            sd, f"feature_blocks.{i}"
+        )
+    params["bottleneck"] = _ublock_params_from_torch(sd, "bottleneck")
+    for j in range(n_feature_blocks):
+        params[f"upsample_{j}"] = {
+            "kernel": conv_transpose_kernel(sd[f"upsamples.{j}.weight"]),
+            "bias": _np(sd[f"upsamples.{j}.bias"]),
+        }
+        params[f"output_block_{j}"] = _ublock_params_from_torch(
+            sd, f"output_blocks.{j}"
+        )
+    params["last_emb_dense"] = _dense_entry(sd, "last_emb.1")
+    params["output_conv"] = {"conv": _conv_entry(sd, "output_conv")}
+    if last_norm and "last_normalizer.weight" in sd:
+        params["last_normalizer"] = _norm_entry(sd, "last_normalizer")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Whole-pickle checkpoint ingestion (backbone_*.pt from src/utils/train.py:63)
+# ---------------------------------------------------------------------------
+
+
+class _StubModule:
+    """Duck-typed stand-in for any pickled torch nn.Module subclass."""
+
+    _stub_classname: str = "?"
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    def named_parameters_dict(self, prefix="") -> Dict[str, Any]:
+        """Reconstruct a flat state_dict from torch's _parameters/_modules."""
+        out: Dict[str, Any] = {}
+        params = self.__dict__.get("_parameters", {}) or {}
+        for name, p in params.items():
+            if p is not None:
+                out[prefix + name] = p
+        bufs = self.__dict__.get("_buffers", {}) or {}
+        for name, b in bufs.items():
+            if b is not None:
+                out[prefix + name] = b
+        mods = self.__dict__.get("_modules", {}) or {}
+        for name, m in mods.items():
+            if m is None:
+                continue
+            if isinstance(m, _StubModule):
+                out.update(m.named_parameters_dict(prefix + name + "."))
+        return out
+
+    def attr(self, name, default=None):
+        return self.__dict__.get(name, default)
+
+
+def load_torch_pickle(path: str):
+    """Unpickle a reference ``backbone_*.pt`` (or any torch.save'd module)
+    without the reference package importable: every unknown class resolves to
+    a `_StubModule`. Requires torch for tensor deserialization.
+
+    Returns the stub object tree; use `.named_parameters_dict()` for a flat
+    state_dict and `.attr(...)` for constructor metadata (emb_dim, mode, ...).
+    """
+    import torch
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith(("torch.", "torch")) or module in (
+                "collections",
+                "builtins",
+                "numpy",
+                "numpy._core.multiarray",
+                "numpy.core.multiarray",
+            ):
+                return super().find_class(module, name)
+            cls = type(name, (_StubModule,), {"_stub_classname": f"{module}.{name}"})
+            return cls
+
+    with open(path, "rb") as f:
+        return torch.load(f, map_location="cpu", pickle_module=_PickleShim(_Unpickler))
+
+
+class _PickleShim:
+    """Minimal pickle-module shim so torch.load uses our Unpickler."""
+
+    def __init__(self, unpickler_cls):
+        self.Unpickler = unpickler_cls
+        self.load = lambda f, **kw: unpickler_cls(f, **kw).load()
+        self.loads = lambda b, **kw: unpickler_cls(io.BytesIO(b), **kw).load()
+        # torch.load introspects these:
+        self.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
+        self.UnpicklingError = pickle.UnpicklingError
+
+
+def load_scales(path: str):
+    """Load a reference ``scales_*.pt`` file -> list[int].
+
+    These are torch.save'd plain Python lists of per-timestep kernel sizes
+    (verified in BASELINE.md; consumed at src/utils/idealscore.py:95).
+    """
+    import torch
+
+    scales = torch.load(path, map_location="cpu", weights_only=False)
+    out = []
+    for s in scales:
+        if hasattr(s, "item"):
+            s = s.item()
+        out.append(int(s))
+    return out

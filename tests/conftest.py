@@ -1,0 +1,52 @@
+"""Test fixtures. Tests run on a virtual 8-device CPU mesh so multi-chip
+sharding paths execute without TPU hardware (strategy mirrored from the
+reference's device fixture, /root/reference/tests/conftest.py:12-18, adapted
+to JAX)."""
+
+import os
+
+# Must be set before jax initializes its backends. Force CPU: the test suite
+# runs on a virtual 8-device CPU mesh even when a TPU is attached (the bench
+# harness, not pytest, exercises real hardware).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(42)
+
+
+@pytest.fixture
+def batch_images():
+    """Random NHWC image batch in [-1, 1]-ish range."""
+    k = jax.random.PRNGKey(0)
+    return jax.random.normal(k, (2, 32, 32, 3), jnp.float32)
+
+
+@pytest.fixture
+def batch_labels():
+    return jnp.array([1, 7], jnp.int32)
+
+
+@pytest.fixture
+def tiny_dataset():
+    """Small synthetic dataset: 16 images 8x8x1 in [-1,1], 4 classes."""
+    rs = np.random.RandomState(123)
+    images = rs.uniform(-1, 1, size=(16, 8, 8, 1)).astype(np.float32)
+    labels = rs.randint(0, 4, size=(16,)).astype(np.int32)
+    return images, labels

@@ -1,0 +1,246 @@
+"""Generate golden parity fixtures by RUNNING the torch reference
+(/root/reference, read-only) on tiny deterministic inputs.
+
+Outputs .npz files under tests/goldens/ containing reference state_dicts,
+inputs, and outputs. The test suite converts the state_dicts with
+`convolutional_diffusion_tpu.convert` and checks our NHWC/Flax forward passes
+and samplers against the recorded torch outputs.
+
+Run once on a machine with torch (CPU is fine):
+    python tools/make_goldens.py
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+REFERENCE = "/root/reference"
+
+
+def stub_torchvision():
+    """The reference imports torchvision but its score/model code never calls
+    it; this environment has no torchvision, so install empty stubs."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    for sub in ("transforms", "datasets", "models"):
+        m = types.ModuleType(f"torchvision.{sub}")
+        setattr(tv, sub, m)
+        sys.modules[f"torchvision.{sub}"] = m
+    sys.modules["torchvision"] = tv
+
+
+def sd_to_numpy(sd, prefix=""):
+    return {prefix + k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def save(name, **arrays):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, name + ".npz")
+    np.savez_compressed(path, **arrays)
+    print(f"wrote {path} ({len(arrays)} arrays)")
+
+
+def main():
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    from src.models import DDIM, MinimalResNet, MinimalUNet
+    from src.utils import idealscore
+    from src.utils.noise_schedules import cosine_noise_schedule, exponential_schedule
+
+    torch.manual_seed(42)
+    dev = torch.device("cpu")
+
+    b, c, h = 2, 3, 16
+    x = torch.randn(b, c, h, h)
+    t = torch.tensor([0.3, 0.8])
+    label = torch.tensor([1, 3])
+
+    # ---------------- ResNet forwards ----------------
+    resnet_cfgs = {
+        "zeros_plain": dict(mode="zeros", normalization=None, conditional=False),
+        "circular_plain": dict(mode="circular", normalization=None, conditional=False),
+        "zeros_norm_cond": dict(
+            mode="zeros", normalization="GroupNorm", conditional=True, num_classes=10
+        ),
+        "zeros_noaddone": dict(
+            mode="zeros", normalization=None, conditional=False, add_one=False
+        ),
+    }
+    arrays = {"x": x.numpy(), "t": t.numpy(), "label": label.numpy()}
+    for name, cfg in resnet_cfgs.items():
+        torch.manual_seed(7)
+        net = MinimalResNet(
+            channels=c, emb_dim=16, kernel_size=3, num_layers=2, lastksize=3, **cfg
+        ).eval()
+        with torch.no_grad():
+            out = net(t, x, label=label if cfg.get("conditional") else None)
+        arrays.update(sd_to_numpy(net.state_dict(), f"{name}/sd/"))
+        arrays[f"{name}/out"] = out.numpy()
+    save("resnet_forward", **arrays)
+
+    # ---------------- UNet forwards ----------------
+    unet_cfgs = {
+        "zeros_plain": dict(mode="zeros", normalization=None, conditional=False),
+        "circular_plain": dict(mode="circular", normalization=None, conditional=False),
+        "zeros_norm_cond": dict(
+            mode="zeros",
+            normalization="GroupNorm",
+            conditional=True,
+            num_classes=10,
+            last_norm=True,
+        ),
+    }
+    arrays = {"x": x.numpy(), "t": t.numpy(), "label": label.numpy()}
+    for name, cfg in unet_cfgs.items():
+        torch.manual_seed(7)
+        net = MinimalUNet(
+            channels=c, fsizes=[8, 16, 32], emb_dim=16, kernel_size=3, lastksize=1, **cfg
+        ).eval()
+        with torch.no_grad():
+            out = net(t, x, label=label if cfg.get("conditional") else None)
+        arrays.update(sd_to_numpy(net.state_dict(), f"{name}/sd/"))
+        arrays[f"{name}/out"] = out.numpy()
+    save("unet_forward", **arrays)
+
+    # ---------------- DDIM / DDPM sampling ----------------
+    torch.manual_seed(7)
+    net = MinimalResNet(
+        channels=c, emb_dim=16, kernel_size=3, num_layers=2, lastksize=3, mode="zeros"
+    ).eval()
+    model = DDIM(pretrained_backbone=net, in_channels=c, default_imsize=h)
+    torch.manual_seed(11)
+    x0 = torch.randn(b, c, h, h)
+    with torch.no_grad():
+        out_ddim = model.sample(batch_size=b, x=x0.clone(), nsteps=5, device=dev)
+        out_break = model.sample(
+            batch_size=b, x=x0.clone(), nsteps=5, breakstep=3, device=dev
+        )
+        # DDPM with the stochastic part zeroed (we cannot match torch RNG):
+        orig = torch.randn_like
+        torch.randn_like = lambda v: torch.zeros_like(v)
+        try:
+            out_ddpm0 = model.sample(
+                batch_size=b, x=x0.clone(), nsteps=5, ddpm=True, device=dev
+            )
+        finally:
+            torch.randn_like = orig
+    save(
+        "sample",
+        **sd_to_numpy(net.state_dict(), "sd/"),
+        x0=x0.numpy(),
+        out_ddim=out_ddim.numpy(),
+        out_break=out_break.numpy(),
+        out_ddpm0=out_ddpm0.numpy(),
+    )
+
+    # ---------------- Analytic score machines ----------------
+    from torch.utils.data import TensorDataset
+
+    rs = np.random.RandomState(3)
+    N, cc, hh = 12, 3, 8
+    imgs = torch.tensor(rs.uniform(-1, 1, size=(N, cc, hh, hh)).astype(np.float32))
+    labs = torch.tensor(rs.randint(0, 3, size=(N,)).astype(np.int64))
+    ds = TensorDataset(imgs, labs)
+    torch.manual_seed(5)
+    xs = torch.randn(1, cc, hh, hh)  # b=1 contract (see SURVEY §2 bbELS note)
+    ts = torch.tensor([0.45])
+
+    arrays = {
+        "imgs": imgs.numpy(),
+        "labs": labs.numpy().astype(np.int64),
+        "x": xs.numpy(),
+        "t": ts.numpy(),
+    }
+
+    # IdealScore: full-image posterior, cosine schedule
+    for bs, tag in [(5, "b5"), (12, "b12")]:
+        mod = idealscore.IdealScoreModule(
+            ds, batch_size=bs, schedule=cosine_noise_schedule, image_size=hh
+        )
+        with torch.no_grad():
+            arrays[f"is/{tag}/out"] = mod(ts, xs.clone(), device=dev).numpy()
+    mod = idealscore.IdealScoreModule(
+        ds, batch_size=5, schedule=cosine_noise_schedule, image_size=hh
+    )
+    with torch.no_grad():
+        arrays["is/label1/out"] = mod(ts, xs.clone(), label=1, device=dev).numpy()
+        # max_samples semantics: break once i(+=bsize) exceeds value
+        mod2 = idealscore.IdealScoreModule(
+            ds, batch_size=5, schedule=cosine_noise_schedule, max_samples=8
+        )
+        arrays["is/max8/out"] = mod2(ts, xs.clone(), device=dev).numpy()
+
+    # LocalScore (note: DataLoader(shuffle=True) in reference; with
+    # batch_size >= N a single full batch makes ordering irrelevant)
+    for k in (3, 5):
+        mod = idealscore.LocalScoreModule(
+            ds, kernel_size=k, batch_size=N, schedule=cosine_noise_schedule
+        )
+        with torch.no_grad():
+            arrays[f"ls/k{k}/out"] = mod(ts, xs.clone(), device=dev).numpy()
+    mod = idealscore.LocalScoreModule(
+        ds, kernel_size=3, batch_size=N, schedule=exponential_schedule
+    )
+    with torch.no_grad():
+        arrays["ls/k3exp/out"] = mod(ts, xs.clone(), device=dev).numpy()
+
+    # ELS (circular, translation-equivariant)
+    for k in (3, 5):
+        for bs, tag in [(5, "b5"), (12, "b12")]:
+            mod = idealscore.LocalEquivScoreModule(
+                ds, kernel_size=k, batch_size=bs, schedule=cosine_noise_schedule
+            )
+            with torch.no_grad():
+                arrays[f"els/k{k}{tag}/out"] = mod(ts, xs.clone(), device=dev).numpy()
+    mod = idealscore.LocalEquivScoreModule(
+        ds, kernel_size=3, batch_size=5, schedule=cosine_noise_schedule
+    )
+    with torch.no_grad():
+        arrays["els/k3label2/out"] = mod(ts, xs.clone(), label=2, device=dev).numpy()
+
+    # bbELS (zeros boundary, border-broken)
+    for k in (3, 5):
+        for bs, tag in [(5, "b5"), (12, "b12")]:
+            mod = idealscore.LocalEquivBordersScoreModule(
+                ds,
+                kernel_size=k,
+                batch_size=bs,
+                image_size=hh,
+                schedule=cosine_noise_schedule,
+            )
+            with torch.no_grad():
+                arrays[f"bbels/k{k}{tag}/out"] = mod(
+                    ts, xs.clone(), device=dev
+                ).numpy()
+
+    # ScheduledScoreMachine end-to-end (ELS backbone, 5 scales)
+    scales = [3, 3, 5, 5, 3]
+    mod = idealscore.LocalEquivScoreModule(
+        ds, kernel_size=3, batch_size=6, schedule=cosine_noise_schedule
+    )
+    machine = idealscore.ScheduledScoreMachine(
+        mod, in_channels=cc, imsize=hh, scales=scales, score_backbone=True
+    )
+    with torch.no_grad():
+        arrays["machine/els/out"] = machine(xs.clone(), device=dev).numpy()
+    modbb = idealscore.LocalEquivBordersScoreModule(
+        ds, kernel_size=3, batch_size=6, image_size=hh, schedule=cosine_noise_schedule
+    )
+    machinebb = idealscore.ScheduledScoreMachine(
+        modbb, in_channels=cc, imsize=hh, scales=scales, score_backbone=True
+    )
+    with torch.no_grad():
+        arrays["machine/bbels/out"] = machinebb(xs.clone(), device=dev).numpy()
+    arrays["machine/scales"] = np.array(scales)
+
+    save("scores", **arrays)
+
+
+if __name__ == "__main__":
+    main()
