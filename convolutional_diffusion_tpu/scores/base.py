@@ -1,0 +1,94 @@
+"""Base class for analytic score modules.
+
+Each module computes the exact Bayes-optimal epsilon/score of the empirical
+training distribution under a locality/equivariance restriction, by streaming
+the training set through an online softmax (see `scores.common`). Modules are
+dataclass-like objects holding the dataset as device arrays; `__call__`
+mirrors the reference signature `(t, x, label=None, device=None, k=None)`
+minus the device argument (placement is XLA's job).
+
+Conventions:
+ - x is NHWC [b, h, w, c]; t is a scalar or [b] with equal entries (the
+   reference always passes i/nsteps replicated, idealscore.py:91).
+ - label is None or a scalar int (the reference filters the whole batch by
+   one label, idealscore.py:602).
+ - returns the SCORE field (not epsilon): -(x - a_t * posterior_mean)/beta_t,
+   matching the reference modules' `-numerator/denominator/bt**2`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedules import cosine_noise_schedule
+
+
+def _as_scalar_t(t) -> jnp.ndarray:
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim > 0:
+        t = t.reshape(-1)[0]
+    return t
+
+
+class ScoreModuleBase:
+    """Holds dataset arrays + config; caches jitted kernels per static key."""
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        kernel_size: int = 3,
+        batch_size: int = 64,
+        image_size: Optional[int] = None,
+        channels: Optional[int] = None,
+        schedule: Callable = cosine_noise_schedule,
+        max_samples: Optional[int] = None,
+        chunk_size: Optional[int] = None,
+        **_unused,
+    ):
+        images, labels = dataset
+        images = jnp.asarray(np.asarray(images), jnp.float32)
+        if images.ndim != 4:
+            raise ValueError("dataset images must be [N, h, w, c] (NHWC)")
+        self.images = images
+        self.labels = jnp.asarray(np.asarray(labels), jnp.int32)
+        self.kernel_size = kernel_size
+        self.batch_size = batch_size
+        self.image_size = image_size or images.shape[1]
+        self.channels = channels or images.shape[-1]
+        self.schedule = schedule
+        self.max_samples = max_samples
+        # compute-chunk size (images per scan step); reference semantics are
+        # keyed to `batch_size`, so weights are computed per reference batch
+        # regardless of the compute chunk.
+        self.chunk_size = chunk_size or batch_size
+        self._jit_cache = {}
+
+    # -- subclass hooks ------------------------------------------------------
+    def _build(self, *, k: int, x_shape, has_label: bool):
+        """Return a jitted fn(images, labels, x, label, at, bt) -> score."""
+        raise NotImplementedError
+
+    # -- public --------------------------------------------------------------
+    def __call__(self, t, x, label=None, device=None, k=None):
+        del device  # reference-API compatibility; placement is XLA's concern
+        if k is None:
+            k = self.kernel_size
+        k = int(k)
+        x = jnp.asarray(x, jnp.float32)
+        t = _as_scalar_t(t)
+        beta = self.schedule(t)
+        at = jnp.sqrt(1.0 - beta)
+        bt = jnp.sqrt(beta)
+        has_label = label is not None
+        key = (k, x.shape, has_label)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(
+                k=k, x_shape=x.shape, has_label=has_label
+            )
+        lab = jnp.asarray(label if has_label else -1, jnp.int32)
+        return self._jit_cache[key](self.images, self.labels, x, lab, at, bt)

@@ -1,0 +1,257 @@
+"""LocalEquivBordersScoreModule (bbELS): ELS under zeros boundary conditions.
+
+Counterpart of `/root/reference/src/utils/idealscore.py:127-372`. With zeros
+padding, translation equivariance is broken at the borders: a pixel whose
+k x k window hangs off the image can only match training windows at the SAME
+aligned offset relative to the border.
+
+Unified TPU formulation (replacing the reference's hand-rolled
+center/4-corner/4-edge tensor surgery): zero-pad both x and the training
+images by p = k//2 and take the k x k window at every pixel. Classify each
+pixel position by (row class, col class), where a row index is its own class
+within p of a border and 'center' otherwise. A pixel of x attends exactly
+over training windows whose position has the SAME class pair:
+
+  - (center, center): all interior positions — the reference's valid-conv
+    patch bank (idealscore.py:239-251);
+  - (border row r, center): bank = windows at row r, any interior column —
+    the reference's per-row-offset sliding edge filters (:254-288);
+  - (center, border col): symmetric;
+  - (border, border): bank = the single window at that exact position of
+    each training image — the reference's corner regions (:201-236).
+
+Since the zero-padded window distance includes zeros-vs-zeros terms only
+where BOTH windows hang off identically, it equals the reference's padded
+crop distances exactly. Values are window-center pixels (always in-bounds).
+
+Parity notes: accumulation is SUM (not mean; idealscore.py:336-368) and the
+max_samples cutoff is the batch quota q = i*batch_size (:184-187,370). The
+reference supports only batch size 1 (its `x[:, None:, ...]` at :251 is a
+no-op slice); this implementation is batched. For k >= h it falls back to a
+zeros-mode LocalScoreModule like the reference (:148-154,162-164).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.patches import center_index, extract_patches, pad_image
+from .base import ScoreModuleBase
+from .common import (
+    CutoffRule,
+    Weighting,
+    image_weights,
+    init_state,
+    update_state,
+)
+from .local import LocalScoreModule
+
+HI = jax.lax.Precision.HIGHEST
+
+
+class LocalEquivBordersScoreModule(ScoreModuleBase):
+    def __init__(self, dataset, *, batch_size: int = 64, target_block: int = 8192, **kw):
+        super().__init__(dataset, batch_size=batch_size, **kw)
+        self.target_block = target_block
+        self._local_fallback = LocalScoreModule(
+            dataset,
+            kernel_size=self.kernel_size,
+            batch_size=batch_size,
+            schedule=self.schedule,
+            max_samples=self.max_samples,
+        )
+
+    def __call__(self, t, x, label=None, device=None, k=None):
+        kk = int(k) if k is not None else self.kernel_size
+        if kk >= self.image_size:
+            # reference fallback: idealscore.py:162-164
+            return self._local_fallback(t, x, label=label, k=kk)
+        return super().__call__(t, x, label=label, k=kk)
+
+    def _chunk_images(self, k: int) -> int:
+        h = self.images.shape[1]
+        per_img = (h - 2 * (k // 2)) ** 2
+        return max(1, self.target_block // max(per_img, 1))
+
+    def _build(self, *, k: int, x_shape, has_label: bool):
+        batch_size = self.batch_size
+        max_samples = self.max_samples
+        cs = self._chunk_images(k)
+        p = k // 2
+
+        def fn(images, labels, x, lab, at, bt):
+            n, h, w, c = images.shape
+            d = k * k * c
+            b = x.shape[0]
+            ctr = center_index(k, c)
+            w_img = image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.BATCH_QUOTA,
+                weighting=Weighting.SUM,
+            )
+            pad = (-n) % cs
+            images_p = jnp.concatenate(
+                [images, jnp.zeros((pad, h, w, c), images.dtype)]
+            ).reshape(-1, cs, h, w, c)
+            w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
+                -1, cs
+            )
+
+            xq = extract_patches(pad_image(x, p, "zeros"), k)  # [b, h, w, d]
+            beta2 = 2.0 * bt**2
+
+            rc, cc = slice(p, h - p), slice(p, w - p)  # center row/col ranges
+            hc, wc = h - 2 * p, w - 2 * p
+
+            # --- queries per region -------------------------------------
+            q_center = xq[:, rc, cc, :].reshape(b, hc * wc, d)
+            qn_center = jnp.sum(q_center**2, axis=-1)
+
+            def row_queries(rows):  # [R, b, wc, d]
+                q = xq[:, rows, cc, :]  # [b, R, wc, d]
+                return jnp.moveaxis(q, 1, 0)
+
+            def col_queries(cols):  # [R, b, hc, d]
+                q = xq[:, rc, cols, :]  # [b, hc, R, d]
+                return jnp.transpose(q, (2, 0, 1, 3))
+
+            top, bottom = slice(0, p), slice(h - p, h)
+            left, right = slice(0, p), slice(w - p, w)
+            q_rows = {"top": row_queries(top), "bottom": row_queries(bottom)}
+            q_cols = {"left": col_queries(left), "right": col_queries(right)}
+
+            def corner_queries(rows, cols):  # [p*p, b, d]
+                q = xq[:, rows, cols, :]  # [b, p, p, d]
+                return q.reshape(b, p * p, d).transpose(1, 0, 2)
+
+            q_corners = {
+                "tl": corner_queries(top, left),
+                "tr": corner_queries(top, right),
+                "bl": corner_queries(bottom, left),
+                "br": corner_queries(bottom, right),
+            }
+
+            states = {
+                "center": init_state((b, hc * wc), c),
+                **{f"row_{nm}": init_state((p, b, wc), c) for nm in q_rows},
+                **{f"col_{nm}": init_state((p, b, hc), c) for nm in q_cols},
+                **{f"corner_{nm}": init_state((p * p, b), c) for nm in q_corners},
+            }
+
+            def step(states, chunk):
+                imgs_c, w_c = chunk  # [cs, h, w, c], [cs]
+                iwin = extract_patches(pad_image(imgs_c, p, "zeros"), k)
+                out = dict(states)
+
+                # center: bank = all interior windows of all chunk images
+                bank = iwin[:, rc, cc, :].reshape(cs * hc * wc, d)
+                pn = jnp.sum(bank**2, axis=-1)
+                dots = jnp.einsum("bqd,pd->bqp", q_center, bank, precision=HI)
+                logits = -(qn_center[..., None] - 2 * at * dots + at**2 * pn) / beta2
+                wb = jnp.repeat(w_c, hc * wc)
+                out["center"] = update_state(
+                    states["center"], logits, wb[None, None, :], bank[:, ctr]
+                )
+
+                # rows: per border row r, bank = windows at (r, interior cols)
+                def rows_update(key, rows, q):
+                    bank = jnp.moveaxis(iwin[:, rows, cc, :], 1, 0)  # [R,cs,wc,d]
+                    R = bank.shape[0]
+                    bank = bank.reshape(R, cs * wc, d)
+                    pn = jnp.sum(bank**2, axis=-1)  # [R, P]
+                    qn = jnp.sum(q**2, axis=-1)  # [R, b, wc]
+                    dots = jnp.einsum("rbqd,rpd->rbqp", q, bank, precision=HI)
+                    logits = (
+                        -(qn[..., None] - 2 * at * dots + at**2 * pn[:, None, None, :])
+                        / beta2
+                    )
+                    wb = jnp.tile(jnp.repeat(w_c, wc)[None], (R, 1))
+                    out[key] = update_state(
+                        states[key], logits, wb[:, None, None, :], bank[..., ctr]
+                    )
+
+                rows_update("row_top", top, q_rows["top"])
+                rows_update("row_bottom", bottom, q_rows["bottom"])
+
+                def cols_update(key, cols, q):
+                    bank = jnp.transpose(iwin[:, rc, cols, :], (2, 0, 1, 3))
+                    R = bank.shape[0]  # [R, cs, hc, d]
+                    bank = bank.reshape(R, cs * hc, d)
+                    pn = jnp.sum(bank**2, axis=-1)
+                    qn = jnp.sum(q**2, axis=-1)
+                    dots = jnp.einsum("rbqd,rpd->rbqp", q, bank, precision=HI)
+                    logits = (
+                        -(qn[..., None] - 2 * at * dots + at**2 * pn[:, None, None, :])
+                        / beta2
+                    )
+                    wb = jnp.tile(jnp.repeat(w_c, hc)[None], (R, 1))
+                    out[key] = update_state(
+                        states[key], logits, wb[:, None, None, :], bank[..., ctr]
+                    )
+
+                cols_update("col_left", left, q_cols["left"])
+                cols_update("col_right", right, q_cols["right"])
+
+                # corners: per position, bank = the window at that position
+                def corner_update(key, rows, cols, q):
+                    bank = iwin[:, rows, cols, :]  # [cs, p, p, d]
+                    bank = bank.reshape(cs, p * p, d).transpose(1, 0, 2)  # [R,cs,d]
+                    pn = jnp.sum(bank**2, axis=-1)  # [R, cs]
+                    qn = jnp.sum(q**2, axis=-1)  # [R, b]
+                    dots = jnp.einsum("rbd,rpd->rbp", q, bank, precision=HI)
+                    logits = (
+                        -(qn[..., None] - 2 * at * dots + at**2 * pn[:, None, :])
+                        / beta2
+                    )
+                    out[key] = update_state(
+                        states[key], logits, w_c[None, None, :], bank[..., ctr]
+                    )
+
+                for nm, (rr, cc_) in {
+                    "tl": (top, left),
+                    "tr": (top, right),
+                    "bl": (bottom, left),
+                    "br": (bottom, right),
+                }.items():
+                    corner_update(f"corner_{nm}", rr, cc_, q_corners[nm])
+
+                return out, None
+
+            states, _ = jax.lax.scan(step, states, (images_p, w_img_p))
+
+            # --- assemble the score image -------------------------------
+            def mean_v(st):
+                return st.s2 / st.s1[..., None]
+
+            out = jnp.zeros_like(x)
+            mc = mean_v(states["center"]).reshape(b, hc, wc, c)
+            out = out.at[:, rc, cc, :].set(-(x[:, rc, cc, :] - at * mc) / (bt**2))
+
+            for nm, rows in (("top", top), ("bottom", bottom)):
+                m = jnp.moveaxis(mean_v(states[f"row_{nm}"]), 0, 1)  # [b, R, wc, c]
+                out = out.at[:, rows, cc, :].set(
+                    -(x[:, rows, cc, :] - at * m) / (bt**2)
+                )
+            for nm, cols in (("left", left), ("right", right)):
+                m = jnp.transpose(mean_v(states[f"col_{nm}"]), (1, 2, 0, 3))
+                out = out.at[:, rc, cols, :].set(
+                    -(x[:, rc, cols, :] - at * m) / (bt**2)
+                )
+            for nm, (rows, cols) in {
+                "tl": (top, left),
+                "tr": (top, right),
+                "bl": (bottom, left),
+                "br": (bottom, right),
+            }.items():
+                m = mean_v(states[f"corner_{nm}"])  # [p*p, b, c]
+                m = m.transpose(1, 0, 2).reshape(b, p, p, c)
+                out = out.at[:, rows, cols, :].set(
+                    -(x[:, rows, cols, :] - at * m) / (bt**2)
+                )
+            return out
+
+        return jax.jit(fn)

@@ -56,9 +56,15 @@ def update_state(
     state: SoftmaxState,
     logits: jnp.ndarray,  # [*S, P]
     weights: jnp.ndarray,  # broadcastable to [*S, P]; 0 disables an entry
-    values: Optional[jnp.ndarray] = None,  # [P, dv] or [*S, P, dv]
+    values: Optional[jnp.ndarray] = None,  # [*L, P, dv]; L = leading dims of S
 ) -> SoftmaxState:
-    """Fold one bank block into the running softmax."""
+    """Fold one bank block into the running softmax.
+
+    `values` may share any number of LEADING state dims: shape [*L, P, dv]
+    where L is a (possibly empty) prefix of S — e.g. a bank shared by all
+    queries ([P, dv]), per-row banks ([R, P, dv] for S=(R, b, q)), or fully
+    per-query values ([*S, P, dv]).
+    """
     weights = jnp.broadcast_to(weights, logits.shape)
     masked = jnp.where(weights > 0, logits, NEG_INF)
     m_new = jnp.maximum(state.m, jnp.max(masked, axis=-1))
@@ -68,13 +74,12 @@ def update_state(
     s1 = state.s1 * scale + jnp.sum(e, axis=-1)
     if values is None:
         s2 = state.s2
-    elif values.ndim == 2:
-        s2 = state.s2 * scale[..., None] + jnp.einsum(
-            "...p,pv->...v", e, values, precision=jax.lax.Precision.HIGHEST
-        )
     else:
+        shared = values.ndim - 2  # leading S dims shared with values
+        letters = "".join(chr(ord("r") + i) for i in range(shared))
+        spec = f"{letters}...p,{letters}pv->{letters}...v"
         s2 = state.s2 * scale[..., None] + jnp.einsum(
-            "...p,...pv->...v", e, values, precision=jax.lax.Precision.HIGHEST
+            spec, e, values, precision=jax.lax.Precision.HIGHEST
         )
     return SoftmaxState(m=m_new, s1=s1, s2=s2)
 

@@ -1,0 +1,104 @@
+"""LocalEquivScoreModule (ELS): locality + translation equivariance.
+
+Counterpart of `/root/reference/src/utils/idealscore.py:375-473`. Every k x k
+patch of every training image (all spatial positions) forms one patch bank;
+each pixel of x attends over the bank with Gaussian weights on the distance
+between its circularly-padded k x k query window and the bank patch, and the
+posterior mean of the bank patches' CENTER pixels gives the score.
+
+TPU formulation — this is flash attention on the MXU:
+  Q = circular windows of x            [b*h*w, d],  d = k*k*c
+  K = all valid patches of train imgs  [P, d]
+  V = patch center pixels              [P, c]
+  logit = -(||q||^2 - 2 a_t qk + a_t^2 ||k||^2) / (2 beta_t)
+streamed over image chunks with the shared online softmax, never
+materializing [b, P, h, w] (the torch version's memory wall — it builds the
+x-patch dot products as a conv2d with P filters, idealscore.py:454).
+
+Reference parity: per-batch `torch.mean` over NP = n_kept * (h-k+1)^2 entries
+and the UNFILTERED max_samples cutoff (idealscore.py:430-444) are reproduced
+by `image_weights(per_image_bank=(h-k+1)^2)`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.patches import extract_patches, pad_image, patch_centers
+from .base import ScoreModuleBase
+from .common import (
+    CutoffRule,
+    Weighting,
+    image_weights,
+    init_state,
+    update_state,
+)
+
+
+class LocalEquivScoreModule(ScoreModuleBase):
+    """mode: boundary condition of the QUERY padding (the paper's ELS uses
+    circular; the bank always uses valid patches)."""
+
+    def __init__(self, dataset, *, batch_size: int = 64, target_block: int = 8192, **kw):
+        super().__init__(dataset, batch_size=batch_size, **kw)
+        self.target_block = target_block
+
+    def _chunk_images(self, k: int) -> int:
+        """Images per scan step so the patch block stays ~target_block."""
+        h = self.images.shape[1]
+        per_img = (h - k + 1) * (self.images.shape[2] - k + 1)
+        return max(1, self.target_block // max(per_img, 1))
+
+    def _build(self, *, k: int, x_shape, has_label: bool):
+        batch_size = self.batch_size
+        max_samples = self.max_samples
+        cs = self._chunk_images(k)
+
+        def fn(images, labels, x, lab, at, bt):
+            n, h, w, c = images.shape
+            hp, wp = h - k + 1, w - k + 1
+            per_img = hp * wp
+            d = k * k * c
+            w_img = image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.UNFILTERED,
+                weighting=Weighting.MEAN,
+                per_image_bank=per_img,
+            )
+            pad = (-n) % cs
+            images_p = jnp.concatenate(
+                [images, jnp.zeros((pad, h, w, c), images.dtype)]
+            ).reshape(-1, cs, h, w, c)
+            w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
+                -1, cs
+            )
+
+            b = x.shape[0]
+            xq = extract_patches(pad_image(x, k // 2, "circular"), k)  # [b,h,w,d]
+            xq = xq.reshape(b, h * w, d)
+            qn = jnp.sum(xq**2, axis=-1)  # [b, hw]
+            beta2 = 2.0 * bt**2
+
+            def step(state, chunk):
+                imgs_c, w_c = chunk
+                patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
+                centers = patch_centers(patches, k, c)  # [P, c]
+                pn = jnp.sum(patches**2, axis=-1)  # [P]
+                w_p = jnp.repeat(w_c, per_img)  # [P]
+                dots = jnp.einsum(
+                    "bqd,pd->bqp", xq, patches, precision=jax.lax.Precision.HIGHEST
+                )
+                logits = -(qn[..., None] - 2.0 * at * dots + at**2 * pn) / beta2
+                return update_state(state, logits, w_p[None, None, :], centers), None
+
+            state = init_state((b, h * w), c)
+            state, _ = jax.lax.scan(step, state, (images_p, w_img_p))
+            mean_center = state.s2 / state.s1[..., None]  # [b, hw, c]
+            score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
+            return score.reshape(x.shape)
+
+        return jax.jit(fn)

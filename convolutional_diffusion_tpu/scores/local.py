@@ -1,0 +1,95 @@
+"""LocalScoreModule (LS): locality without translation equivariance.
+
+Counterpart of `/root/reference/src/utils/idealscore.py:476-557`. Each pixel
+(i, j) of x attends over the N training images; the logit for image n is the
+sum of per-pixel squared distances over the zero-padded k x k window around
+(i, j), and the value is the pixelwise diff (x - a_t img_n)(i, j).
+
+TPU formulation: the per-pixel distance field D[b, n] = sum_c (x - a_t img)^2
+is box-filtered with a k x k SAME window (one `lax.reduce_window` — the
+zero-padding contributes zeros exactly like torch's F.unfold(padding=k//2),
+idealscore.py:539), then streamed through the shared online softmax with
+per-pixel values.
+
+NOTE on ordering: the reference's DataLoader uses shuffle=True here
+(idealscore.py:489) — the only shuffled module — so with max_samples it
+processes a random subset. This implementation streams sequentially
+(deterministic); pass a pre-shuffled dataset to reproduce sampling, or use
+batch_size >= N for exact parity (default schedule is also exponential,
+matching the reference's odd default at idealscore.py:483).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..schedules import exponential_schedule
+from .base import ScoreModuleBase
+from .common import (
+    CutoffRule,
+    Weighting,
+    image_weights,
+    init_state,
+    update_state,
+)
+
+
+class LocalScoreModule(ScoreModuleBase):
+    def __init__(self, dataset, *, batch_size: int = 256, schedule=exponential_schedule, **kw):
+        super().__init__(dataset, batch_size=batch_size, schedule=schedule, **kw)
+
+    def _build(self, *, k: int, x_shape, has_label: bool):
+        batch_size = self.batch_size
+        max_samples = self.max_samples
+        cs = min(self.chunk_size, 64)
+
+        def fn(images, labels, x, lab, at, bt):
+            n, h, w, c = images.shape
+            w_img = image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.FILTERED,
+                weighting=Weighting.MEAN,
+            )
+            pad = (-n) % cs
+            images_p = jnp.concatenate(
+                [images, jnp.zeros((pad, h, w, c), images.dtype)]
+            ).reshape(-1, cs, h, w, c)
+            w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
+                -1, cs
+            )
+
+            b = x.shape[0]
+            beta2 = 2.0 * bt**2
+
+            def step(state, chunk):
+                imgs_c, w_c = chunk  # [cs, h, w, c], [cs]
+                diffs = x[:, None] - at * imgs_c[None]  # [b, cs, h, w, c]
+                d2 = jnp.sum(diffs**2, axis=-1)  # [b, cs, h, w]
+                boxed = jax.lax.reduce_window(
+                    d2,
+                    0.0,
+                    jax.lax.add,
+                    window_dimensions=(1, 1, k, k),
+                    window_strides=(1, 1, 1, 1),
+                    padding=((0, 0), (0, 0), (k // 2, k // 2), (k // 2, k // 2)),
+                )
+                logits = -boxed / beta2  # [b, cs, h, w]
+                # softmax axis is the image axis -> move to last: [b, h, w, cs]
+                logits = jnp.moveaxis(logits, 1, -1)
+                values = jnp.moveaxis(diffs, 1, 3)  # [b, h, w, cs, c]
+                return (
+                    update_state(state, logits, w_c[None, None, None, :], values),
+                    None,
+                )
+
+            state = init_state((b, h, w), c)
+            state, _ = jax.lax.scan(step, state, (images_p, w_img_p))
+            # values here are already the diffs, so num/den IS the mean diff:
+            score = -(state.s2 / state.s1[..., None]) / (bt**2)
+            return score
+
+        return jax.jit(fn)

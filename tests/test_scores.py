@@ -1,0 +1,219 @@
+"""Analytic score machine parity vs the torch reference (goldens recorded by
+tools/make_goldens.py from /root/reference/src/utils/idealscore.py), plus
+structural unit tests of the streaming-softmax scaffold."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convolutional_diffusion_tpu.schedules import (
+    cosine_noise_schedule,
+    exponential_schedule,
+)
+from convolutional_diffusion_tpu.scores import (
+    IdealScoreModule,
+    LocalEquivBordersScoreModule,
+    LocalEquivScoreModule,
+    LocalScoreModule,
+    ScheduledScoreMachine,
+    init_state,
+    merge_states,
+    update_state,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "scores.npz")
+
+
+@pytest.fixture(scope="module")
+def z():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("goldens missing — run tools/make_goldens.py")
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def data(z):
+    imgs = np.transpose(z["imgs"], (0, 2, 3, 1))  # NCHW -> NHWC
+    labs = z["labs"].astype(np.int32)
+    x = np.transpose(z["x"], (0, 2, 3, 1))
+    t = float(z["t"][0])
+    return imgs, labs, x, t
+
+
+def check(ours, z, key, atol=2e-4):
+    expect = np.transpose(z[key], (0, 2, 3, 1))
+    scale = max(np.abs(expect).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(ours), expect, atol=atol * scale, err_msg=key
+    )
+
+
+class TestIdealScore:
+    def test_uneven_batches(self, z, data):
+        imgs, labs, x, t = data
+        mod = IdealScoreModule((imgs, labs), batch_size=5, schedule=cosine_noise_schedule)
+        check(mod(t, x), z, "is/b5/out")
+
+    def test_single_batch(self, z, data):
+        imgs, labs, x, t = data
+        mod = IdealScoreModule((imgs, labs), batch_size=12, schedule=cosine_noise_schedule)
+        check(mod(t, x), z, "is/b12/out")
+
+    def test_label_filter(self, z, data):
+        imgs, labs, x, t = data
+        mod = IdealScoreModule((imgs, labs), batch_size=5, schedule=cosine_noise_schedule)
+        check(mod(t, x, label=1), z, "is/label1/out")
+
+    def test_max_samples(self, z, data):
+        imgs, labs, x, t = data
+        mod = IdealScoreModule(
+            (imgs, labs), batch_size=5, schedule=cosine_noise_schedule, max_samples=8
+        )
+        check(mod(t, x), z, "is/max8/out")
+
+
+class TestLocalScore:
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_kernel_sizes(self, z, data, k):
+        imgs, labs, x, t = data
+        mod = LocalScoreModule(
+            (imgs, labs), kernel_size=k, batch_size=12, schedule=cosine_noise_schedule
+        )
+        check(mod(t, x), z, f"ls/k{k}/out")
+
+    def test_exponential_default_schedule(self, z, data):
+        imgs, labs, x, t = data
+        mod = LocalScoreModule((imgs, labs), kernel_size=3, batch_size=12)
+        assert mod.schedule is exponential_schedule  # reference default quirk
+        check(mod(t, x), z, "ls/k3exp/out")
+
+
+class TestELS:
+    @pytest.mark.parametrize("k", [3, 5])
+    @pytest.mark.parametrize("bs", [5, 12])
+    def test_kernel_and_batch(self, z, data, k, bs):
+        imgs, labs, x, t = data
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=k, batch_size=bs, schedule=cosine_noise_schedule
+        )
+        check(mod(t, x), z, f"els/k{k}b{bs}/out")
+
+    def test_label_filter(self, z, data):
+        imgs, labs, x, t = data
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=5, schedule=cosine_noise_schedule
+        )
+        check(mod(t, x, label=2), z, "els/k3label2/out")
+
+    def test_k_override_arg(self, z, data):
+        imgs, labs, x, t = data
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=12, schedule=cosine_noise_schedule
+        )
+        check(mod(t, x, k=5), z, "els/k5b12/out")
+
+
+class TestBbELS:
+    @pytest.mark.parametrize("k", [3, 5])
+    @pytest.mark.parametrize("bs", [5, 12])
+    def test_kernel_and_batch(self, z, data, k, bs):
+        imgs, labs, x, t = data
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs),
+            kernel_size=k,
+            batch_size=bs,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x), z, f"bbels/k{k}b{bs}/out")
+
+    def test_fallback_when_k_geq_h(self, data):
+        imgs, labs, x, t = data
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=9, batch_size=12, schedule=cosine_noise_schedule
+        )
+        ls = LocalScoreModule(
+            (imgs, labs), kernel_size=9, batch_size=12, schedule=cosine_noise_schedule
+        )
+        np.testing.assert_allclose(
+            np.asarray(mod(t, x)), np.asarray(ls(t, x)), rtol=1e-6, atol=1e-6
+        )
+
+    def test_batched_matches_single(self, data):
+        """Our bbELS lifts the reference's b=1 restriction; batched rows must
+        equal independent single-sample runs."""
+        imgs, labs, x, t = data
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=12, schedule=cosine_noise_schedule
+        )
+        x2 = np.concatenate([x, x[::-1] * 0.5], axis=0)
+        batched = np.asarray(mod(t, x2))
+        for i in range(2):
+            single = np.asarray(mod(t, x2[i : i + 1]))
+            np.testing.assert_allclose(batched[i : i + 1], single, rtol=2e-4, atol=1e-4)
+
+
+class TestMachine:
+    def test_els_machine(self, z, data):
+        imgs, labs, x, t = data
+        scales = [int(s) for s in z["machine/scales"]]
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=6, schedule=cosine_noise_schedule
+        )
+        machine = ScheduledScoreMachine(
+            mod, in_channels=3, imsize=8, scales=scales, score_backbone=True
+        )
+        check(machine(jnp.asarray(x)), z, "machine/els/out", atol=5e-4)
+
+    def test_bbels_machine(self, z, data):
+        imgs, labs, x, t = data
+        scales = [int(s) for s in z["machine/scales"]]
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=6, schedule=cosine_noise_schedule
+        )
+        machine = ScheduledScoreMachine(
+            mod, in_channels=3, imsize=8, scales=scales, score_backbone=True
+        )
+        check(machine(jnp.asarray(x)), z, "machine/bbels/out", atol=5e-4)
+
+
+class TestStreamingSoftmax:
+    def test_online_equals_dense(self):
+        rs = np.random.RandomState(0)
+        logits = jnp.asarray(rs.normal(size=(4, 64)) * 10)
+        values = jnp.asarray(rs.normal(size=(64, 3)))
+        w = jnp.asarray(rs.uniform(0.5, 1.5, size=(64,)))
+        state = init_state((4,), 3)
+        for s in range(0, 64, 16):
+            state = update_state(
+                state, logits[:, s : s + 16], w[None, s : s + 16], values[s : s + 16]
+            )
+        e = np.exp(np.asarray(logits) - np.asarray(logits).max(1, keepdims=True))
+        e = e * np.asarray(w)[None, :]
+        expect = (e @ np.asarray(values)) / e.sum(1, keepdims=True)
+        got = np.asarray(state.s2 / state.s1[:, None])
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+    def test_merge_associative(self):
+        rs = np.random.RandomState(1)
+        logits = jnp.asarray(rs.normal(size=(2, 48)) * 5)
+        values = jnp.asarray(rs.normal(size=(48, 2)))
+        w = jnp.ones((48,))
+        full = update_state(init_state((2,), 2), logits, w[None], values)
+        a = update_state(init_state((2,), 2), logits[:, :20], w[None, :20], values[:20])
+        b = update_state(init_state((2,), 2), logits[:, 20:], w[None, 20:], values[20:])
+        merged = merge_states(a, b)
+        np.testing.assert_allclose(
+            np.asarray(merged.s2 / merged.s1[:, None]),
+            np.asarray(full.s2 / full.s1[:, None]),
+            rtol=1e-5,
+        )
+
+    def test_zero_weight_entries_ignored(self):
+        logits = jnp.asarray([[0.0, 100.0]])
+        values = jnp.asarray([[1.0], [2.0]])
+        w = jnp.asarray([[1.0, 0.0]])
+        st = update_state(init_state((1,), 1), logits, w, values)
+        np.testing.assert_allclose(np.asarray(st.s2 / st.s1[:, None]), [[1.0]])
