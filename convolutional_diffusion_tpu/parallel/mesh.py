@@ -1,0 +1,63 @@
+"""Device-mesh utilities: the framework's distributed backbone.
+
+The reference has no distributed machinery at all (single-device torch,
+SURVEY §2); this framework makes multi-chip first-class via `jax.sharding`:
+ - data-parallel training: batch sharded over the 'data' axis, parameters
+   replicated, XLA inserts the psum gradient reduction over ICI;
+ - dataset/patch-bank sharding for the analytic score machines: each device
+   streams its shard of the training set through the online softmax and the
+   partial (max, s1, s2) states merge with the associative
+   `scores.common.merge_states` combine — mathematically identical to the
+   sequential stream;
+ - multi-seed sampling: seeds sharded over 'data'.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_spec"]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """1-D (or factored) device mesh over the first n devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.asarray(devs[:n])
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # factor n as evenly as possible over the requested axes
+        shape = [1] * len(axis_names)
+        shape[0] = n
+        shape = tuple(shape)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def data_spec(ndim: int, axis: str = "data") -> P:
+    """PartitionSpec sharding dim 0 over `axis`, replicating the rest."""
+    return P(axis, *([None] * (ndim - 1)))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of arrays with dim-0 sharded over the mesh axis."""
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, data_spec(x.ndim, axis)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# The environment's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms="axon,cpu" at config level (overriding the env var), so pin
+# the config back to cpu before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
