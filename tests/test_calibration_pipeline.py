@@ -1,0 +1,198 @@
+"""Calibration + ELS pipeline tests: aggregation parity with torch
+median/mode, end-to-end calibrate() on a tiny model, artifact layout with
+resume/fill, and cross-format (.pt) interop with the reference."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convolutional_diffusion_tpu import pipeline
+from convolutional_diffusion_tpu.calibration import calibrate, lower_median, mode_smallest
+from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
+from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+from convolutional_diffusion_tpu.scores import (
+    LocalEquivBordersScoreModule,
+    ScheduledScoreMachine,
+)
+
+
+class TestAggregation:
+    def test_lower_median_matches_torch(self):
+        import torch
+
+        rs = np.random.RandomState(0)
+        a = rs.randint(3, 18, size=(10, 7)).astype(np.float32)
+        ours = lower_median(a, axis=0)
+        theirs = torch.median(torch.tensor(a), dim=0).values.numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_mode_matches_torch(self):
+        import torch
+
+        rs = np.random.RandomState(1)
+        a = rs.choice([3, 5, 7, 9], size=(12, 5)).astype(np.float32)
+        ours = mode_smallest(a, axis=0)
+        theirs = torch.mode(torch.tensor(a), dim=0).values.numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    ds_imgs = np.random.RandomState(3).uniform(-1, 1, (24, 8, 8, 1)).astype(np.float32)
+    ds_labs = np.random.RandomState(4).randint(0, 3, (24,)).astype(np.int32)
+    net = MinimalResNet(channels=1, emb_dim=16, num_layers=1, mode="zeros")
+    model = DiffusionModel(net, in_channels=1, default_imsize=8)
+    params = model.init(jax.random.PRNGKey(0))
+    return (ds_imgs, ds_labs), model, params
+
+
+class TestCalibrate:
+    def test_unconditional(self, tiny_setup):
+        dataset, model, params = tiny_setup
+        mods = {
+            k: LocalEquivBordersScoreModule(
+                dataset, kernel_size=k, batch_size=24, schedule=cosine_noise_schedule
+            )
+            for k in (3, 5)
+        }
+
+        def eps_fn(t, x, label):
+            return model.apply(params, t, x, None)
+
+        res = calibrate(
+            eps_fn,
+            mods,
+            image_size=8,
+            in_channels=1,
+            nsamps=4,
+            nsteps=5,
+            key=jax.random.PRNGKey(7),
+        )
+        assert res["k_optimals"].shape == (4, 5)
+        assert set(np.unique(res["k_optimals"])) <= {3, 5}
+        assert res["median"].shape == (5,)
+        assert res["mode"].shape == (5,)
+
+    def test_conditional_label_grouping(self, tiny_setup):
+        dataset, model, params = tiny_setup
+        mods = {
+            3: LocalEquivBordersScoreModule(
+                dataset, kernel_size=3, batch_size=24, schedule=cosine_noise_schedule
+            )
+        }
+
+        def eps_fn(t, x, label):
+            return model.apply(params, t, x, None)
+
+        res = calibrate(
+            eps_fn,
+            mods,
+            image_size=8,
+            in_channels=1,
+            nsamps=3,
+            nsteps=3,
+            conditional=True,
+            nlabels=3,
+            key=jax.random.PRNGKey(8),
+        )
+        assert np.all(res["k_optimals"] == 3)
+
+
+class TestPipeline:
+    @pytest.fixture
+    def machine(self, tiny_setup):
+        dataset, _, _ = tiny_setup
+        mod = LocalEquivBordersScoreModule(
+            dataset, kernel_size=3, batch_size=24, schedule=cosine_noise_schedule
+        )
+        return ScheduledScoreMachine(
+            mod, in_channels=1, imsize=8, scales=[3, 3, 3, 3, 3]
+        )
+
+    def test_generate_layout_and_resume(self, machine, tmp_path):
+        out = str(tmp_path / "exp")
+        n = pipeline.generate_els_samples(
+            machine, out, numiters=4, in_channels=1, image_size=8, batch=2,
+            log_fn=lambda s: None,
+        )
+        assert n == 4
+        for i in range(4):
+            assert os.path.exists(os.path.join(out, "seeds", f"{i:04d}.npy"))
+            assert os.path.exists(os.path.join(out, "els_outputs", f"{i:04d}.npy"))
+        # resume: delete one output, regenerate only the tail
+        os.remove(os.path.join(out, "els_outputs", "0002.npy"))
+        n2 = pipeline.generate_els_samples(
+            machine, out, numiters=4, in_channels=1, image_size=8, batch=2,
+            log_fn=lambda s: None,
+        )
+        assert n2 == 2  # indices 2 and 3 regenerated
+        # deterministic seeds: index 3's seed unchanged by the resume
+        s3a = np.load(os.path.join(out, "seeds", "0003.npy"))
+        n3 = pipeline.generate_els_samples(
+            machine, out, numiters=4, in_channels=1, image_size=8,
+            force_overwrite=True, log_fn=lambda s: None,
+        )
+        s3b = np.load(os.path.join(out, "seeds", "0003.npy"))
+        np.testing.assert_array_equal(s3a, s3b)
+
+    def test_fill_mode(self, machine, tmp_path):
+        out = str(tmp_path / "exp")
+        pipeline.generate_els_samples(
+            machine, out, numiters=3, in_channels=1, image_size=8,
+            log_fn=lambda s: None,
+        )
+        n = pipeline.generate_els_samples(
+            machine, out, numiters=3, in_channels=1, image_size=8,
+            idealname="ideal", fill=True, log_fn=lambda s: None,
+        )
+        assert n == 3
+        assert os.path.exists(os.path.join(out, "ideal", "0000.npy"))
+
+    def test_pt_interop_roundtrip(self, tmp_path):
+        """Artifacts written as .pt are readable (reference interop)."""
+        import torch
+
+        arr = np.random.RandomState(0).normal(size=(1, 1, 8, 8)).astype(np.float32)
+        pipeline.save_array(str(tmp_path / "x"), arr, fmt="pt")
+        back = pipeline.load_array(str(tmp_path / "x"))
+        np.testing.assert_array_equal(arr, back)
+        # NCHW reference artifact converts to NHWC on load
+        fixed = pipeline._nchw_to_nhwc_if_needed(back, channels=1)
+        assert fixed.shape == (1, 8, 8, 1)
+
+    def test_evaluate_correlations(self, machine, tiny_setup, tmp_path):
+        dataset, model, params = tiny_setup
+        out = str(tmp_path / "exp")
+        pipeline.generate_els_samples(
+            machine, out, numiters=3, in_channels=1, image_size=8,
+            log_fn=lambda s: None,
+        )
+        pipeline.generate_els_samples(
+            machine, out, numiters=3, in_channels=1, image_size=8,
+            idealname="ideal", fill=True, log_fn=lambda s: None,
+        )
+        from convolutional_diffusion_tpu import sampling
+
+        def sample_fn(x, labels):
+            return sampling.sample_scan(
+                model.apply, model.noise_schedule, params, x, nsteps=5
+            )
+
+        res = pipeline.evaluate_correlations(out, sample_fn, channels=1)
+        assert res["n"] == 3
+        assert len(res["ideal_corrs"]) == 3
+        # ELS output == ideal output here (same machine) => identical corrs
+        np.testing.assert_allclose(res["ideal_corrs"], res["target_corrs"], atol=1e-6)
+        assert -1.01 <= res["median_target"] <= 1.01
+
+    def test_auto_detect_scales_against_reference_layout(self, tmp_path):
+        ck = tmp_path / "checkpoints"
+        ck.mkdir()
+        (ck / "scales_MNIST_ResNet_zeros.pt").write_bytes(b"x")
+        found = pipeline.auto_detect_scales(str(ck), "mnist")
+        assert found.endswith("scales_MNIST_ResNet_zeros.pt")
+        with pytest.raises(FileNotFoundError):
+            pipeline.auto_detect_scales(str(ck), "cifar10")
