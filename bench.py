@@ -25,21 +25,28 @@ import jax.numpy as jnp
 
 
 def time_fn(fn, *args, warmup=1, iters=2):
+    # NOTE: force a device->host transfer to fence each iteration — on this
+    # image's remote-TPU (axon) platform, block_until_ready returns before
+    # execution finishes, which inflates throughput ~1000x.
+    import numpy as _np
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _np.asarray(jax.device_get(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = _np.asarray(jax.device_get(fn(*args)))
     return (time.perf_counter() - t0) / iters, out
 
 
-def bench_ddpm(batch=64, nsteps=1000):
+def bench_ddpm(batch=64, nsteps=1000, precision=None):
+    """precision=None -> TPU-native bf16 MXU matmuls with fp32 accumulation;
+    precision='highest' -> full fp32 (the parity configuration)."""
     from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
     from convolutional_diffusion_tpu.sampling import make_sampler
 
     net = MinimalResNet(
         channels=3, emb_dim=256, num_layers=8, mode="zeros", conditional=True,
-        num_classes=10, kernel_size=3, lastksize=3,
+        num_classes=10, kernel_size=3, lastksize=3, precision=precision,
     )
     model = DiffusionModel(net, in_channels=3, default_imsize=32)
     params = model.init(jax.random.PRNGKey(0), batch_size=1)
@@ -79,8 +86,14 @@ def bench_els(batch=16, n_train=2048, max_samples=None):
 
 
 def main():
-    ddpm_ips = bench_ddpm()
-    details = {"ddpm_1000step_images_per_sec": round(ddpm_ips, 3)}
+    ddpm_ips = bench_ddpm(precision=None)  # TPU-native: bf16 MXU, fp32 accum
+    details = {"ddpm_1000step_images_per_sec_bf16mxu": round(ddpm_ips, 3)}
+    try:
+        details["ddpm_1000step_images_per_sec_fp32"] = round(
+            bench_ddpm(precision="highest"), 3
+        )
+    except Exception as e:  # pragma: no cover
+        details["fp32_error"] = repr(e)
     try:
         els_ips = bench_els()
         details["els_20step_2048bank_images_per_sec"] = round(els_ips, 4)
