@@ -167,7 +167,12 @@ def unet_params_from_torch(
 
 
 class _StubModule:
-    """Duck-typed stand-in for any pickled torch nn.Module subclass."""
+    """Duck-typed stand-in for a pickled reference-defined nn.Module subclass.
+
+    torch.nn.* classes unpickle as REAL torch modules (torch is importable);
+    only the reference's own classes (src.models.*) become stubs — the tree
+    is mixed, so use the module-level helpers below, which work on both
+    (both store state in __dict__['_parameters'/'_buffers'/'_modules'])."""
 
     _stub_classname: str = "?"
 
@@ -177,27 +182,32 @@ class _StubModule:
         else:
             self.__dict__["_state"] = state
 
-    def named_parameters_dict(self, prefix="") -> Dict[str, Any]:
-        """Reconstruct a flat state_dict from torch's _parameters/_modules."""
-        out: Dict[str, Any] = {}
-        params = self.__dict__.get("_parameters", {}) or {}
-        for name, p in params.items():
-            if p is not None:
-                out[prefix + name] = p
-        bufs = self.__dict__.get("_buffers", {}) or {}
-        for name, b in bufs.items():
-            if b is not None:
-                out[prefix + name] = b
-        mods = self.__dict__.get("_modules", {}) or {}
-        for name, m in mods.items():
-            if m is None:
-                continue
-            if isinstance(m, _StubModule):
-                out.update(m.named_parameters_dict(prefix + name + "."))
-        return out
 
-    def attr(self, name, default=None):
-        return self.__dict__.get(name, default)
+def module_children(m) -> Dict[str, Any]:
+    return dict(m.__dict__.get("_modules") or {})
+
+
+def module_attr(m, name, default=None):
+    return m.__dict__.get(name, default)
+
+
+def module_child(m, name):
+    return (m.__dict__.get("_modules") or {}).get(name)
+
+
+def module_state_dict(m, prefix="") -> Dict[str, Any]:
+    """Flat state_dict from a mixed stub/torch module tree."""
+    out: Dict[str, Any] = {}
+    for name, p in (m.__dict__.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p
+    for name, b in (m.__dict__.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = b
+    for name, c in module_children(m).items():
+        if c is not None:
+            out.update(module_state_dict(c, prefix + name + "."))
+    return out
 
 
 def load_torch_pickle(path: str):
@@ -215,6 +225,7 @@ def load_torch_pickle(path: str):
             if module.startswith(("torch.", "torch")) or module in (
                 "collections",
                 "builtins",
+                "__builtin__",  # py2-style names in torch pickle streams
                 "numpy",
                 "numpy._core.multiarray",
                 "numpy.core.multiarray",
@@ -230,6 +241,8 @@ def load_torch_pickle(path: str):
 class _PickleShim:
     """Minimal pickle-module shim so torch.load uses our Unpickler."""
 
+    __name__ = "pickle_stub_shim"  # torch.load introspects this
+
     def __init__(self, unpickler_cls):
         self.Unpickler = unpickler_cls
         self.load = lambda f, **kw: unpickler_cls(f, **kw).load()
@@ -237,6 +250,110 @@ class _PickleShim:
         # torch.load introspects these:
         self.HIGHEST_PROTOCOL = pickle.HIGHEST_PROTOCOL
         self.UnpicklingError = pickle.UnpicklingError
+
+
+def diffusion_model_from_torch_pickle(path: str, dtype=None, precision="highest"):
+    """Reference ``backbone_*.pt`` (a whole pickled DDIM module,
+    src/utils/train.py:63) -> (DiffusionModel, flax params).
+
+    Reconstructs the architecture from the pickled module's attributes and
+    maps its weights — no reference code is imported or executed.
+    """
+    from .models import DiffusionModel, MinimalResNet, MinimalUNet
+
+    stub = load_torch_pickle(path)
+    cls = getattr(stub, "_stub_classname", "")
+    if cls.endswith("DDIM"):
+        backbone = module_child(stub, "backbone")
+        in_channels = module_attr(stub, "in_channels", 3)
+        default_imsize = module_attr(stub, "default_imsize", 32)
+    else:
+        backbone = stub
+        in_channels = module_attr(stub, "channels", 3)
+        default_imsize = 32
+    if backbone is None:
+        raise ValueError(f"no backbone module found in {path}")
+
+    bcls = getattr(backbone, "_stub_classname", "")
+    sd = module_state_dict(backbone)
+    conditional = bool(module_attr(backbone, "conditional", False))
+    if bcls.endswith("MinimalResNet"):
+        num_layers = int(module_attr(backbone, "num_layers", 6))
+        normalization = module_attr(backbone, "normalization", None)
+        add_one = len(module_children(module_child(backbone, "embs"))) > num_layers
+        kernel_size = int(sd["up_projection.weight"].shape[-1])
+        lastksize = int(
+            (sd.get("down_projection.weight") if normalization is None else sd["down_projection.1.weight"]).shape[-1]
+        )
+        emb_dim = int(module_attr(backbone, "emb_dim", sd["up_projection.weight"].shape[0]))
+        num_classes = module_attr(backbone, "num_classes")
+        net = MinimalResNet(
+            channels=in_channels, emb_dim=emb_dim,
+            mode=module_attr(backbone, "mode", "circular"),
+            normalization=normalization, conditional=conditional,
+            num_classes=num_classes, kernel_size=kernel_size,
+            num_layers=num_layers, lastksize=lastksize, add_one=add_one,
+            dtype=dtype, precision=precision,
+        )
+        params = resnet_params_from_torch(
+            sd, num_layers=num_layers, normalization=normalization,
+            add_one=add_one, conditional=conditional,
+        )
+    elif bcls.endswith("MinimalUNet"):
+        fsizes = tuple(
+            int(f) for f in module_attr(backbone, "fsizes", (32, 64, 128, 256))
+        )
+        # UBlock normalization isn't stored as an attr on MinimalUNet; detect
+        # from the presence of 1-D weights inside feature block Sequentials.
+        has_norm = any(
+            re.match(r"feature_blocks\.\d+\.model\.\d+\.weight$", k)
+            and _np(v).ndim == 1
+            for k, v in sd.items()
+        )
+        normalization = "GroupNorm" if has_norm else None
+        last_norm = bool(module_attr(backbone, "last_norm", False)) and (
+            "last_normalizer.weight" in sd
+        )
+        num_classes = (
+            int(_np(sd["embedding.class_embeddings.weight"]).shape[0])
+            if conditional
+            else None
+        )
+        # MinimalUNet does not store `mode`; read the padding_mode baked into
+        # its first conv (src/models.py:305).
+        mode = "circular"
+        fb = module_child(backbone, "feature_blocks")
+        if fb is not None:
+            first = module_child(fb, "0")
+            if first is not None:
+                conv0 = module_child(module_child(first, "model"), "0")
+                mode = module_attr(conv0, "padding_mode", "circular")
+        net = MinimalUNet(
+            channels=in_channels, fsizes=fsizes, mode=mode,
+            conditional=conditional,
+            num_classes=num_classes,
+            emb_dim=int(module_attr(backbone, "emb_dim", 256)),
+            normalization=normalization, last_norm=last_norm,
+            kernel_size=int(module_attr(backbone, "kernel_size", 3)),
+            lastksize=int(module_attr(backbone, "lastksize", 1)),
+            dtype=dtype, precision=precision,
+        )
+        params = unet_params_from_torch(
+            sd, n_feature_blocks=len(fsizes) - 1, conditional=conditional,
+            last_norm=last_norm,
+        )
+    else:
+        raise ValueError(f"unsupported backbone class {bcls!r} in {path}")
+
+    from .schedules import cosine_noise_schedule
+
+    model = DiffusionModel(
+        net,
+        noise_schedule=cosine_noise_schedule,
+        in_channels=in_channels,
+        default_imsize=int(default_imsize),
+    )
+    return model, params
 
 
 def load_scales(path: str):

@@ -41,41 +41,43 @@ class ArrayDataset(NamedTuple):
         return self.images.shape[0]
 
 
-# Metadata table mirrors reference get_metadata (src/utils/data.py:59-122),
-# including its CIFAR10 train_images=60000 quirk (actual train split is 50000;
-# the field is unused downstream — kept for drop-in compatibility).
+# Metadata table mirrors reference get_metadata (src/utils/data.py:59-122)
+# value-for-value, including its CIFAR10 train_images=60000 quirk (actual
+# train split is 50000; the field is unused downstream — kept for drop-in
+# compatibility).
 _METADATA = {
     "mnist": dict(
-        image_size=32, num_classes=10, num_channels=1,
+        name="mnist", image_size=32, num_classes=10, num_channels=1,
         train_images=60000, val_images=10000, mean=[0.5], std=[0.5],
     ),
     "fashion_mnist": dict(
-        image_size=32, num_classes=10, num_channels=1,
+        name="fashion_mnist", image_size=32, num_classes=10, num_channels=1,
         train_images=60000, val_images=10000, mean=[0.5], std=[0.5],
     ),
     "cifar10": dict(
-        image_size=32, num_classes=10, num_channels=3,
+        name="cifar10", image_size=32, num_classes=10, num_channels=3,
         train_images=60000, val_images=10000, mean=[0.5, 0.5, 0.5],
         std=[0.5, 0.5, 0.5],
     ),
     "celeba": dict(
-        image_size=32, num_classes=None, num_channels=3,
-        train_images=162770, val_images=19867, mean=[0.5, 0.5, 0.5],
+        name="celeba", image_size=32, num_classes=1, num_channels=3,
+        train_images=200000, val_images=0, mean=[0.5, 0.5, 0.5],
         std=[0.5, 0.5, 0.5],
     ),
 }
-
-_DEFAULT_METADATA = dict(
-    image_size=32, num_classes=10, num_channels=3,
-    train_images=50000, val_images=10000, mean=[0.5, 0.5, 0.5],
-    std=[0.5, 0.5, 0.5],
-)
+_METADATA["fashionmnist"] = _METADATA["fashion_mnist"]
 
 
 def get_metadata(name: str) -> dict:
     """Per-dataset metadata; unknown names get a default (reference
     src/utils/data.py:110-120)."""
-    return dict(_METADATA.get(name.lower(), _DEFAULT_METADATA))
+    name = name.lower()
+    if name in _METADATA:
+        return dict(_METADATA[name])
+    return dict(
+        name=name, image_size=32, num_classes=1, num_channels=3,
+        train_images=0, val_images=0, mean=[0.5, 0.5, 0.5], std=[0.5, 0.5, 0.5],
+    )
 
 
 def _resize_bilinear(x: np.ndarray, size: int) -> np.ndarray:
@@ -241,7 +243,7 @@ def get_dataset(
     size = image_size or meta["image_size"]
     if name.startswith("synthetic"):
         ds = synthetic_dataset(image_size=size, **synthetic_kwargs)
-        meta = dict(meta, num_channels=ds.images.shape[-1], image_size=size)
+        meta = dict(meta, name=name, num_channels=ds.images.shape[-1], image_size=size)
         return ds, meta
     if name in ("mnist", "fashion_mnist"):
         return _load_mnist_family(root, name, train, size), meta

@@ -139,6 +139,33 @@ def main():
         out_ddpm0=out_ddpm0.numpy(),
     )
 
+    # ---------------- Whole-pickle checkpoints (backbone_*.pt format) ------
+    pickle_dir = os.path.join(GOLDEN_DIR, "pickles")
+    os.makedirs(pickle_dir, exist_ok=True)
+    torch.manual_seed(7)
+    rn = MinimalResNet(
+        channels=c, emb_dim=16, kernel_size=3, num_layers=2, lastksize=3,
+        mode="zeros", normalization=None, conditional=True, num_classes=10,
+    ).eval()
+    ddim_rn = DDIM(pretrained_backbone=rn, in_channels=c, default_imsize=h)
+    with torch.no_grad():
+        out_rn = ddim_rn(t, x, label=label)
+    torch.save(ddim_rn, os.path.join(pickle_dir, "backbone_resnet_cond.pt"))
+    torch.manual_seed(9)
+    un = MinimalUNet(
+        channels=c, fsizes=[8, 16], emb_dim=16, kernel_size=3, lastksize=1,
+        mode="zeros", normalization="GroupNorm", last_norm=True,
+    ).eval()
+    ddim_un = DDIM(pretrained_backbone=un, in_channels=c, default_imsize=h)
+    with torch.no_grad():
+        out_un = ddim_un(t, x)
+    torch.save(ddim_un, os.path.join(pickle_dir, "backbone_unet.pt"))
+    save(
+        "pickle_forward",
+        x=x.numpy(), t=t.numpy(), label=label.numpy(),
+        resnet_out=out_rn.numpy(), unet_out=out_un.numpy(),
+    )
+
     # ---------------- Analytic score machines ----------------
     from torch.utils.data import TensorDataset
 
