@@ -1,0 +1,178 @@
+"""Fused flash-score Pallas TPU kernel — the ELS inner loop.
+
+Computes, for a block of queries Q (x's k x k windows) against a bank K of
+training patches with values V (patch centers) and per-patch weights w, the
+running online-softmax statistics
+
+    logit(q, p) = -(||q||^2 - 2 a_t <q, p> + a_t^2 ||p||^2) / (2 beta_t)
+    m  = max_p logit,   s1 = sum_p w_p e^{logit - m},
+    s2 = sum_p w_p e^{logit - m} V_p
+
+without ever materializing the [M, P] logit matrix in HBM: the QK^T dot rides
+the MXU, and max/exp/accumulate fuse in VMEM (flash-attention structure; this
+replaces the reference's conv2d-with-P-filters formulation of the patch dot
+products, /root/reference/src/utils/idealscore.py:454, whose [b, P, h, w]
+tensor is the torch version's memory wall).
+
+Grid = (query blocks, patch blocks) with the patch dimension innermost; the
+output state block for a fixed query block stays VMEM-resident across patch
+visits (initialized from the carried input state at the first visit), so the
+kernel chains across dataset chunks exactly like `scores.common.update_state`
+— same math, same streaming-merge semantics.
+
+Dimensions are padded: d (patch features) to a multiple of 128 with zeros
+(zero features do not change distances), the value dim c to 128 lanes, P to
+the patch block with w=0 padding, M to the query block (masked rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(-1e30)  # finite -inf stand-in: keeps exp()/rescale exact at fp32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    qn_ref, pn_ref, w_ref, q_ref, k_ref, v_ref, scale_ref,
+    m_in, s1_in, s2_in,
+    m_ref, s1_ref, s2_ref,
+    *, precision,
+):
+    # Everything stays 2D in natural orientation (qn/m/s1: [BQ, 1] columns;
+    # pn/w: [1, BP] rows) — 1-wide column extractions would force Mosaic
+    # sublane<->lane relayouts that blow the VMEM stack.
+    from jax.experimental import pallas as pl
+
+    pj = pl.program_id(1)
+
+    @pl.when(pj == 0)
+    def _():  # first patch block for this query block: load carried state
+        m_ref[:, :] = m_in[:, :]
+        s1_ref[:, :] = s1_in[:, :]
+        s2_ref[:, :] = s2_in[:, :]
+
+    at = scale_ref[0, 0]
+    inv2bt2 = scale_ref[0, 1]
+
+    dots = jnp.dot(
+        q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [BQ, BP]
+    logits = -(qn_ref[:, :] - 2.0 * at * dots + (at * at) * pn_ref[:, :]) * inv2bt2
+    w = w_ref[:, :]  # [1, BP]
+    logits = jnp.where(w > 0.0, logits, NEG_INF)
+
+    m_old = m_ref[:, :]  # [BQ, 1]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
+    # guard fully-empty rows (m == NEG_INF): exp offsets from 0
+    m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
+    e = jnp.where(w > 0.0, w * jnp.exp(logits - m_safe), 0.0)  # [BQ, BP]
+    scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
+
+    s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(e, axis=1, keepdims=True)
+    s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
+        e, v_ref[:, :], preferred_element_type=jnp.float32, precision=precision
+    )
+    m_ref[:, :] = m_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_p", "interpret", "precision")
+)
+def flash_score_update(
+    q: jnp.ndarray,  # [M, d]
+    qn: jnp.ndarray,  # [M]
+    bank: jnp.ndarray,  # [P, d]
+    pn: jnp.ndarray,  # [P]
+    values: jnp.ndarray,  # [P, c]
+    w: jnp.ndarray,  # [P]
+    at: jnp.ndarray,  # scalar sqrt(1-beta)
+    bt: jnp.ndarray,  # scalar sqrt(beta)
+    state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # m [M], s1 [M], s2 [M, c]
+    *,
+    block_q: int = 256,
+    block_p: int = 512,
+    interpret: bool = False,
+    precision: str = "highest",
+):
+    """One fused bank sweep; returns updated (m, s1, s2) with the finite
+    NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
+
+    precision='highest' keeps the MXU dots at fp32 (the <1e-3 parity
+    configuration); 'default' allows bf16 inputs for ~5x more MXU throughput
+    at ~3e-3 relative error on the posterior means."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m0, s10, s20 = state
+    M, d = q.shape
+    P = bank.shape[0]
+    c = values.shape[1]
+
+    Mp = _round_up(M, block_q)
+    Pp = _round_up(P, block_p)
+    dp = _round_up(d, 128)
+    cp = _round_up(c, 128)
+
+    qp = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(q)
+    qnp_ = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(qn)
+    bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
+    pnp_ = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(pn)
+    vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
+    wp = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(w)
+    mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
+    s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
+    s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
+
+    scale = jnp.stack([at.astype(jnp.float32), 1.0 / (2.0 * bt * bt)]).reshape(1, 2)
+
+    grid = (Mp // block_q, Pp // block_p)
+
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    out_m, out_s1, out_s2 = pl.pallas_call(
+        functools.partial(_kernel, precision=prec),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, cp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda qi, pj: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, cp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, cp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, cp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qnp_, pnp_, wp, qp, bankp, vp, scale, mp, s1p, s2p)
+
+    return out_m[:M, 0], out_s1[:M, 0], out_s2[:M, :c]
+
+
+def state_to_pallas(m, s1, s2):
+    """common.SoftmaxState convention (-inf empties) -> finite sentinel."""
+    return (jnp.where(jnp.isneginf(m), NEG_INF, m), s1, s2)
+
+
+def state_from_pallas(m, s1, s2):
+    """finite-sentinel state -> -inf convention."""
+    return (jnp.where(m <= NEG_INF * 0.5, -jnp.inf, m), s1, s2)

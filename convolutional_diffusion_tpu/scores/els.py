@@ -38,11 +38,25 @@ from .common import (
 
 class LocalEquivScoreModule(ScoreModuleBase):
     """mode: boundary condition of the QUERY padding (the paper's ELS uses
-    circular; the bank always uses valid patches)."""
+    circular; the bank always uses valid patches).
 
-    def __init__(self, dataset, *, batch_size: int = 64, target_block: int = 8192, **kw):
+    use_pallas: route the bank sweep through the fused flash-score Pallas
+    kernel (ops.flash_score). None (default) = auto: on for TPU backends,
+    off for CPU (where the jnp path is used; the kernel itself is also
+    CPU-testable via interpret mode)."""
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int = 64,
+        target_block: int = 8192,
+        use_pallas: bool | None = None,
+        **kw,
+    ):
         super().__init__(dataset, batch_size=batch_size, **kw)
         self.target_block = target_block
+        self.use_pallas = use_pallas
 
     def _chunk_images(self, k: int) -> int:
         """Images per scan step so the patch block stays ~target_block."""
@@ -54,6 +68,9 @@ class LocalEquivScoreModule(ScoreModuleBase):
         batch_size = self.batch_size
         max_samples = self.max_samples
         cs = self._chunk_images(k)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
 
         def fn(images, labels, x, lab, at, bt):
             n, h, w, c = images.shape
@@ -82,6 +99,34 @@ class LocalEquivScoreModule(ScoreModuleBase):
             xq = xq.reshape(b, h * w, d)
             qn = jnp.sum(xq**2, axis=-1)  # [b, hw]
             beta2 = 2.0 * bt**2
+
+            if use_pallas:
+                from ..ops.flash_score import NEG_INF, flash_score_update
+
+                M = b * h * w
+                xq_flat = xq.reshape(M, d)
+                qn_flat = qn.reshape(M)
+
+                def step(state, chunk):
+                    imgs_c, w_c = chunk
+                    patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
+                    centers = patch_centers(patches, k, c)
+                    pn = jnp.sum(patches**2, axis=-1)
+                    w_p = jnp.repeat(w_c, per_img)
+                    state = flash_score_update(
+                        xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state
+                    )
+                    return state, None
+
+                state0 = (
+                    jnp.full((M,), NEG_INF, jnp.float32),
+                    jnp.zeros((M,), jnp.float32),
+                    jnp.zeros((M, c), jnp.float32),
+                )
+                (m_, s1_, s2_), _ = jax.lax.scan(step, state0, (images_p, w_img_p))
+                mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
+                score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
+                return score.reshape(x.shape)
 
             def step(state, chunk):
                 imgs_c, w_c = chunk

@@ -113,6 +113,7 @@ def train_diffusion(
     conditional: bool = False,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    checkpoint_extra: Optional[dict] = None,
     log_fn: Callable[[str], None] = print,
 ):
     """Full training loop. Returns (params, opt_state, history).
@@ -178,6 +179,6 @@ def train_diffusion(
 
             save_checkpoint(
                 checkpoint_dir, params=params, opt_state=opt_state, step=step,
-                epoch=epoch + 1,
+                epoch=epoch + 1, extra=checkpoint_extra,
             )
     return params, opt_state, history

@@ -1,0 +1,105 @@
+"""Flash-score Pallas kernel vs the jnp online-softmax reference
+(interpret mode on CPU; the real-TPU path is exercised by bench/els)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convolutional_diffusion_tpu.ops.flash_score import (
+    NEG_INF,
+    flash_score_update,
+    state_from_pallas,
+    state_to_pallas,
+)
+from convolutional_diffusion_tpu.scores.common import init_state, update_state
+
+
+def reference_state(q, qn, bank, pn, values, w, at, bt, state):
+    logits = -(qn[:, None] - 2 * at * (q @ bank.T) + at**2 * pn[None, :]) / (
+        2 * bt**2
+    )
+    return update_state(state, logits, w[None, :], values)
+
+
+@pytest.mark.parametrize("shapes", [
+    (64, 27, 200, 3),    # k=3 c=3: unaligned everything
+    (100, 75, 513, 1),   # k=5 c=3 grayscale-ish odd sizes
+    (256, 128, 512, 3),  # fully aligned
+])
+def test_matches_reference(shapes):
+    M, d, P, c = shapes
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    w = jnp.asarray(rs.uniform(0.5, 1.5, size=(P,)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+
+    ref = reference_state(
+        q, qn, bank, pn, values, w, at, bt, init_state((M,), c)
+    )
+
+    st = state_to_pallas(jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c)))
+    m, s1, s2 = flash_score_update(
+        q, qn, bank, pn, values, w, at, bt, st,
+        block_q=64, block_p=128, interpret=True,
+    )
+    m, s1, s2 = state_from_pallas(m, s1, s2)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref.m), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref.s1), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s2 / s1[:, None]),
+        np.asarray(ref.s2 / ref.s1[:, None]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_chaining_matches_single_sweep():
+    """Two chained kernel calls over bank halves == one call over the full
+    bank (the streaming-merge contract used by the chunk scan)."""
+    M, d, P, c = 32, 27, 256, 3
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    w = jnp.ones((P,), jnp.float32)
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.7), jnp.float32(0.71)
+
+    def run(bank, pn, values, w, st):
+        return flash_score_update(
+            q, qn, bank, pn, values, w, at, bt, st,
+            block_q=32, block_p=64, interpret=True,
+        )
+
+    st0 = state_to_pallas(jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c)))
+    full = run(bank, pn, values, w, st0)
+    half1 = run(bank[:128], pn[:128], values[:128], w[:128], st0)
+    half2 = run(bank[128:], pn[128:], values[128:], w[128:], half1)
+    for a, b in zip(full, half2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_zero_weight_bank_entries_ignored():
+    M, d, P, c = 16, 12, 64, 2
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.9), jnp.float32(0.44)
+    st0 = state_to_pallas(jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c)))
+
+    w_half = jnp.concatenate([jnp.ones((32,)), jnp.zeros((32,))])
+    a = flash_score_update(q, qn, bank, pn, values, w_half, at, bt, st0,
+                           block_q=16, block_p=32, interpret=True)
+    b = flash_score_update(q, qn, bank[:32], pn[:32], values[:32],
+                           jnp.ones((32,)), at, bt, st0,
+                           block_q=16, block_p=32, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
