@@ -36,6 +36,69 @@ from .common import (
 )
 
 
+def els_sweep(
+    images_p,  # [n_chunks, cs, h, w, c]
+    w_img_p,  # [n_chunks, cs]
+    xq_flat,  # [M, d] query windows
+    qn_flat,  # [M]
+    at,
+    bt,
+    *,
+    k: int,
+    cs: int,
+    per_img: int,
+    c: int,
+    use_pallas: bool,
+):
+    """Stream the chunked patch bank through the online softmax; returns the
+    flat running state (m [M], s1 [M], s2 [M, c]) with -inf empty convention.
+
+    Shared by the single-device module and the dataset-sharded parallel
+    module (each device sweeps its shard, then states merge over ICI)."""
+    d = xq_flat.shape[1]
+    M = xq_flat.shape[0]
+    beta2 = 2.0 * bt**2
+
+    if use_pallas:
+        from ..ops.flash_score import flash_score_update, state_from_pallas, state_to_pallas
+
+        def step(state, chunk):
+            imgs_c, w_c = chunk
+            patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
+            centers = patch_centers(patches, k, c)
+            pn = jnp.sum(patches**2, axis=-1)
+            w_p = jnp.repeat(w_c, per_img)
+            return (
+                flash_score_update(
+                    xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state
+                ),
+                None,
+            )
+
+        state0 = state_to_pallas(
+            jnp.full((M,), -jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.float32),
+            jnp.zeros((M, c), jnp.float32),
+        )
+        state, _ = jax.lax.scan(step, state0, (images_p, w_img_p))
+        return state_from_pallas(*state)
+
+    def step(state, chunk):
+        imgs_c, w_c = chunk
+        patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
+        centers = patch_centers(patches, k, c)
+        pn = jnp.sum(patches**2, axis=-1)
+        w_p = jnp.repeat(w_c, per_img)
+        dots = jnp.einsum(
+            "qd,pd->qp", xq_flat, patches, precision=jax.lax.Precision.HIGHEST
+        )
+        logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pn) / beta2
+        return update_state(state, logits, w_p[None, :], centers), None
+
+    state, _ = jax.lax.scan(step, init_state((M,), c), (images_p, w_img_p))
+    return state.m, state.s1, state.s2
+
+
 class LocalEquivScoreModule(ScoreModuleBase):
     """mode: boundary condition of the QUERY padding (the paper's ELS uses
     circular; the bank always uses valid patches).
@@ -96,53 +159,15 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
             b = x.shape[0]
             xq = extract_patches(pad_image(x, k // 2, "circular"), k)  # [b,h,w,d]
-            xq = xq.reshape(b, h * w, d)
-            qn = jnp.sum(xq**2, axis=-1)  # [b, hw]
-            beta2 = 2.0 * bt**2
+            M = b * h * w
+            xq_flat = xq.reshape(M, d)
+            qn_flat = jnp.sum(xq_flat**2, axis=-1)  # [M]
 
-            if use_pallas:
-                from ..ops.flash_score import NEG_INF, flash_score_update
-
-                M = b * h * w
-                xq_flat = xq.reshape(M, d)
-                qn_flat = qn.reshape(M)
-
-                def step(state, chunk):
-                    imgs_c, w_c = chunk
-                    patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
-                    centers = patch_centers(patches, k, c)
-                    pn = jnp.sum(patches**2, axis=-1)
-                    w_p = jnp.repeat(w_c, per_img)
-                    state = flash_score_update(
-                        xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state
-                    )
-                    return state, None
-
-                state0 = (
-                    jnp.full((M,), NEG_INF, jnp.float32),
-                    jnp.zeros((M,), jnp.float32),
-                    jnp.zeros((M, c), jnp.float32),
-                )
-                (m_, s1_, s2_), _ = jax.lax.scan(step, state0, (images_p, w_img_p))
-                mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
-                score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
-                return score.reshape(x.shape)
-
-            def step(state, chunk):
-                imgs_c, w_c = chunk
-                patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
-                centers = patch_centers(patches, k, c)  # [P, c]
-                pn = jnp.sum(patches**2, axis=-1)  # [P]
-                w_p = jnp.repeat(w_c, per_img)  # [P]
-                dots = jnp.einsum(
-                    "bqd,pd->bqp", xq, patches, precision=jax.lax.Precision.HIGHEST
-                )
-                logits = -(qn[..., None] - 2.0 * at * dots + at**2 * pn) / beta2
-                return update_state(state, logits, w_p[None, None, :], centers), None
-
-            state = init_state((b, h * w), c)
-            state, _ = jax.lax.scan(step, state, (images_p, w_img_p))
-            mean_center = state.s2 / state.s1[..., None]  # [b, hw, c]
+            _, s1_, s2_ = els_sweep(
+                images_p, w_img_p, xq_flat, qn_flat, at, bt,
+                k=k, cs=cs, per_img=per_img, c=c, use_pallas=use_pallas,
+            )
+            mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
             return score.reshape(x.shape)
 

@@ -1,0 +1,97 @@
+"""Parallel subsystem tests on the 8-device CPU mesh: dataset-sharded ELS
+equals the single-device module, and the collective merge equals the
+sequential streaming merge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convolutional_diffusion_tpu.parallel.mesh import make_mesh
+from convolutional_diffusion_tpu.parallel.sharded_score import (
+    ShardedLocalEquivScoreModule,
+    shard_dataset,
+)
+from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(0)
+    images = rs.uniform(-1, 1, size=(48, 8, 8, 3)).astype(np.float32)
+    labels = rs.randint(0, 3, size=(48,)).astype(np.int32)
+    x = rs.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    return images, labels, x
+
+
+def test_sharded_els_matches_single_device(data):
+    images, labels, x = data
+    assert jax.device_count() == 8
+    mesh = make_mesh(8)
+    single = LocalEquivScoreModule(
+        (images, labels), kernel_size=3, batch_size=12,
+        schedule=cosine_noise_schedule,
+    )
+    sharded = ShardedLocalEquivScoreModule(
+        (images, labels), mesh=mesh, kernel_size=3, batch_size=12,
+        schedule=cosine_noise_schedule,
+    )
+    for t in (0.3, 0.7):
+        a = np.asarray(single(t, x))
+        b = np.asarray(sharded(t, x))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_els_label_and_max_samples(data):
+    images, labels, x = data
+    mesh = make_mesh(8)
+    kw = dict(kernel_size=3, batch_size=10, schedule=cosine_noise_schedule,
+              max_samples=30)
+    single = LocalEquivScoreModule((images, labels), **kw)
+    sharded = ShardedLocalEquivScoreModule((images, labels), mesh=mesh, **kw)
+    a = np.asarray(single(0.5, x, label=1))
+    b = np.asarray(sharded(0.5, x, label=1))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_merge_collective_equals_sequential():
+    from functools import partial
+
+    from convolutional_diffusion_tpu.parallel.sharded_score import merge_collective
+    from convolutional_diffusion_tpu.scores.common import (
+        init_state,
+        merge_states,
+        SoftmaxState,
+    )
+
+    rs = np.random.RandomState(1)
+    n_dev = 8
+    m = jnp.asarray(rs.normal(size=(n_dev, 4)) * 5)
+    s1 = jnp.asarray(rs.uniform(0.5, 2, size=(n_dev, 4)))
+    s2 = jnp.asarray(rs.normal(size=(n_dev, 4, 2)))
+
+    # sequential merge of the 8 partial states
+    acc = SoftmaxState(m[0], s1[0], s2[0])
+    for i in range(1, n_dev):
+        acc = merge_states(acc, SoftmaxState(m[i], s1[i], s2[i]))
+
+    # collective merge via pmap over 8 CPU devices
+    f = jax.pmap(
+        lambda mm, ss1, ss2: merge_collective(mm, ss1, ss2, "i"), axis_name="i"
+    )
+    mg, s1g, s2g = f(m, s1, s2)
+    np.testing.assert_allclose(np.asarray(mg[0]), np.asarray(acc.m), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s2g[0] / s1g[0][:, None]),
+        np.asarray(acc.s2 / acc.s1[:, None]),
+        rtol=1e-5,
+    )
+
+
+def test_shard_dataset_placement(data):
+    images, labels, _ = data
+    mesh = make_mesh(8)
+    si, sl = shard_dataset(jnp.asarray(images), jnp.asarray(labels), mesh)
+    assert si.sharding.spec == jax.sharding.PartitionSpec("data", None, None, None)
+    assert sl.sharding.spec == jax.sharding.PartitionSpec("data")
