@@ -55,6 +55,13 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
         self.axis = axis
         super().__init__(dataset, **kw)
 
+    def __call__(self, t, x, label=None, device=None, k=None):
+        # bypass the single-device bank-mode fast path; the sharded sweep
+        # extracts per-shard banks inside shard_map
+        from ..scores.base import ScoreModuleBase
+
+        return ScoreModuleBase.__call__(self, t, x, label=label, k=k)
+
     def _build(self, *, k: int, x_shape, has_label: bool):
         batch_size = self.batch_size
         max_samples = self.max_samples

@@ -115,11 +115,157 @@ class LocalEquivScoreModule(ScoreModuleBase):
         batch_size: int = 64,
         target_block: int = 8192,
         use_pallas: bool | None = None,
+        bank_budget_bytes: int = 4 << 30,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
         self.target_block = target_block
         self.use_pallas = use_pallas
+        # Patch banks are immutable per (k, dataset): cache the extracted
+        # [P_total, d] bank in HBM when it fits the budget, so extraction
+        # amortizes to zero across ScheduledScoreMachine steps and samples
+        # (the sweep becomes pure MXU matmuls over bank blocks).
+        self.bank_budget_bytes = bank_budget_bytes
+        self._bank_cache = {}
+
+    def _bank(self, k: int):
+        """(bank [P,d], centers [P,c], pn [P]) device arrays, or None if the
+        bank exceeds the HBM budget (fall back to on-the-fly extraction)."""
+        if k in self._bank_cache:
+            return self._bank_cache[k]
+        n, h, w, c = self.images.shape
+        per_img = (h - k + 1) * (w - k + 1)
+        d = k * k * c
+        nbytes = n * per_img * (d + c + 1) * 4
+        if nbytes > self.bank_budget_bytes:
+            self._bank_cache[k] = None
+            return None
+
+        B = self.target_block
+        ptot = n * per_img
+        pad = (-ptot) % B
+
+        @jax.jit
+        def build(images):
+            patches = extract_patches(images, k).reshape(ptot, d)
+            centers = patch_centers(patches, k, c)
+            pn = jnp.sum(patches**2, -1)
+            if pad:  # pad once at build time (excluded via zero weights)
+                patches = jnp.concatenate([patches, jnp.zeros((pad, d))])
+                centers = jnp.concatenate([centers, jnp.zeros((pad, c))])
+                pn = jnp.concatenate([pn, jnp.zeros((pad,))])
+            return patches, centers, pn
+
+        self._bank_cache[k] = build(self.images)
+        return self._bank_cache[k]
+
+    def _build_bank_mode(self, *, k: int, x_shape, has_label: bool):
+        """Jitted scorer over a precomputed (padded) patch bank."""
+        batch_size = self.batch_size
+        max_samples = self.max_samples
+        B = self.target_block
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        n_img, h, w, c = self.images.shape
+        per_img = (h - k + 1) * (w - k + 1)
+        ptot = n_img * per_img
+
+        def fn(bank, centers, pn, labels, x, lab, at, bt):
+            d = bank.shape[1]
+            w_img = image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.UNFILTERED,
+                weighting=Weighting.MEAN,
+                per_image_bank=per_img,
+            )
+            w_patch = jnp.repeat(w_img, per_img)
+            w_patch = jnp.concatenate(
+                [w_patch, jnp.zeros((bank.shape[0] - ptot,), w_patch.dtype)]
+            )
+
+            b = x.shape[0]
+            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
+            M = b * h * w
+            xq_flat = xq.reshape(M, d)
+            qn_flat = jnp.sum(xq_flat**2, axis=-1)
+
+            bank_b = bank.reshape(-1, B, d)
+            centers_b = centers.reshape(-1, B, c)
+            pn_b = pn.reshape(-1, B)
+            w_b = w_patch.reshape(-1, B)
+            beta2 = 2.0 * bt**2
+
+            if use_pallas:
+                from ..ops.flash_score import (
+                    flash_score_update,
+                    state_from_pallas,
+                    state_to_pallas,
+                )
+
+                def step(state, blk):
+                    kb, vb, pnb, wb = blk
+                    return (
+                        flash_score_update(
+                            xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state
+                        ),
+                        None,
+                    )
+
+                state0 = state_to_pallas(
+                    jnp.full((M,), -jnp.inf, jnp.float32),
+                    jnp.zeros((M,), jnp.float32),
+                    jnp.zeros((M, c), jnp.float32),
+                )
+                state, _ = jax.lax.scan(
+                    step, state0, (bank_b, centers_b, pn_b, w_b)
+                )
+                _, s1_, s2_ = state_from_pallas(*state)
+            else:
+
+                def step(state, blk):
+                    kb, vb, pnb, wb = blk
+                    dots = jnp.einsum(
+                        "qd,pd->qp", xq_flat, kb,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
+                    return update_state(state, logits, wb[None, :], vb), None
+
+                state, _ = jax.lax.scan(
+                    step, init_state((M,), c), (bank_b, centers_b, pn_b, w_b)
+                )
+                s1_, s2_ = state.s1, state.s2
+
+            mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
+            score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
+            return score.reshape(x.shape)
+
+        return jax.jit(fn)
+
+    def __call__(self, t, x, label=None, device=None, k=None):
+        kk = int(k) if k is not None else self.kernel_size
+        bank = self._bank(kk)
+        if bank is None:
+            return super().__call__(t, x, label=label, k=kk)
+        from .base import _as_scalar_t
+
+        x = jnp.asarray(x, jnp.float32)
+        t = _as_scalar_t(t)
+        beta = self.schedule(t)
+        at = jnp.sqrt(1.0 - beta)
+        bt = jnp.sqrt(beta)
+        has_label = label is not None
+        key = ("bank", kk, x.shape, has_label)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_bank_mode(
+                k=kk, x_shape=x.shape, has_label=has_label
+            )
+        lab = jnp.asarray(label if has_label else -1, jnp.int32)
+        return self._jit_cache[key](*bank, self.labels, x, lab, at, bt)
 
     def _chunk_images(self, k: int) -> int:
         """Images per scan step so the patch block stays ~target_block."""

@@ -114,17 +114,35 @@ def train_diffusion(
     mesh=None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_extra: Optional[dict] = None,
+    use_native_loader: bool = False,
     log_fn: Callable[[str], None] = print,
 ):
     """Full training loop. Returns (params, opt_state, history).
 
     With a mesh, batches are sharded over the 'data' axis and params
-    replicated; without one, runs single-device.
+    replicated; without one, runs single-device. With
+    use_native_loader=True, shuffled/normalized batches come from the C++
+    prefetch runtime (utils.native_loader) instead of numpy gathers
+    (falls back silently if the library can't build).
     """
     images, labels = dataset
     images = np.asarray(images, np.float32)
     labels = np.asarray(labels, np.int32)
     n = images.shape[0]
+
+    native = None
+    if use_native_loader:
+        from .utils import native_loader
+
+        if native_loader.is_available():
+            # the C++ loader holds raw uint8; invert the [-1,1] normalization
+            u8 = np.clip((images * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+            native = native_loader.NativeLoader.from_arrays(
+                u8, labels, batch_size=config.batch_size, seed=config.seed,
+                drop_last=config.drop_last,
+            )
+        else:
+            log_fn("native loader unavailable; using numpy batches")
 
     # train_step donates params/opt_state buffers; copy so the caller's
     # arrays survive the first step.
@@ -155,11 +173,16 @@ def train_diffusion(
         epoch_losses = []
         t0 = time.time()
         for i in range(steps_per_epoch):
-            idx = perm[i * bs : (i + 1) * bs]
-            if len(idx) < bs and config.drop_last:
-                break
-            batch_img = put_batch(images[idx])
-            batch_lab = put_batch(labels[idx])
+            if native is not None:
+                bi, bl = native.next()
+                batch_img = put_batch(bi)
+                batch_lab = put_batch(bl)
+            else:
+                idx = perm[i * bs : (i + 1) * bs]
+                if len(idx) < bs and config.drop_last:
+                    break
+                batch_img = put_batch(images[idx])
+                batch_lab = put_batch(labels[idx])
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(
                 params, opt_state, batch_img, batch_lab, sub
