@@ -44,7 +44,7 @@ def _kernel(
     qn_ref, pn_ref, w_ref, q_ref, k_ref, v_ref, scale_ref,
     m_in, s1_in, s2_in,
     m_ref, s1_ref, s2_ref,
-    *, precision,
+    *, precision, c, v_strategy,
 ):
     # Everything stays 2D in natural orientation (qn/m/s1: [BQ, 1] columns;
     # pn/w: [1, BP] rows) — 1-wide column extractions would force Mosaic
@@ -78,14 +78,31 @@ def _kernel(
     scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
 
     s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(e, axis=1, keepdims=True)
-    s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
-        e, v_ref[:, :], preferred_element_type=jnp.float32, precision=precision
-    )
+    if v_strategy == "vpu":
+        # c is tiny (1-3 image channels): an MXU e @ V with V padded to 128
+        # lanes would waste 128/c of the array. Instead V arrives TRANSPOSED
+        # as rows ([c_pad8, BP]); accumulate per channel on the VPU with a
+        # lane-select write into the s2 tile.
+        bq = e.shape[0]
+        cp = s2_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, cp), 1)
+        s2_acc = s2_ref[:, :] * scale
+        for ci in range(c):
+            contrib = jnp.sum(
+                e * v_ref[ci : ci + 1, :], axis=1, keepdims=True
+            )  # [BQ, 1]
+            s2_acc = s2_acc + jnp.where(lane == ci, contrib, 0.0)
+        s2_ref[:, :] = s2_acc
+    else:
+        s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
+            e, v_ref[:, :], preferred_element_type=jnp.float32, precision=precision
+        )
     m_ref[:, :] = m_new
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_p", "interpret", "precision")
+    jax.jit,
+    static_argnames=("block_q", "block_p", "interpret", "precision", "v_strategy"),
 )
 def flash_score_update(
     q: jnp.ndarray,  # [M, d]
@@ -102,13 +119,19 @@ def flash_score_update(
     block_p: int = 512,
     interpret: bool = False,
     precision: str = "highest",
+    v_strategy: str = "auto",
 ):
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
 
     precision='highest' keeps the MXU dots at fp32 (the <1e-3 parity
     configuration); 'default' allows bf16 inputs for ~5x more MXU throughput
-    at ~3e-3 relative error on the posterior means."""
+    at ~3e-3 relative error on the posterior means.
+
+    v_strategy: 'mxu' computes e @ V on the MXU (V lane-padded to 128 — a
+    128/c waste for image channels); 'vpu' accumulates the c channels as
+    VPU row-reductions over transposed V rows (the win for c<=3);
+    'auto' picks 'vpu' when c <= 8."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,11 +145,22 @@ def flash_score_update(
     dp = _round_up(d, 128)
     cp = _round_up(c, 128)
 
+    if v_strategy == "auto":
+        v_strategy = "vpu" if c <= 8 else "mxu"
+
     qp = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(q)
     qnp_ = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(qn)
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
     pnp_ = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(pn)
-    vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
+    if v_strategy == "vpu":
+        c8 = _round_up(c, 8)  # sublane-aligned transposed values [c8, Pp]
+        vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
+        v_block = (c8, block_p)
+        v_index = lambda qi, pj: (0, pj)
+    else:
+        vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
+        v_block = (block_p, cp)
+        v_index = lambda qi, pj: (pj, 0)
     wp = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(w)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
@@ -138,7 +172,7 @@ def flash_score_update(
 
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     out_m, out_s1, out_s2 = pl.pallas_call(
-        functools.partial(_kernel, precision=prec),
+        functools.partial(_kernel, precision=prec, c=c, v_strategy=v_strategy),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
@@ -146,7 +180,7 @@ def flash_score_update(
             pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_p, cp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda qi, pj: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),

@@ -166,30 +166,39 @@ def generate_els_samples(
     if conditional:
         os.makedirs(lab_dir, exist_ok=True)
 
+    def draw(j):
+        ks, kl = jax.random.split(jax.random.fold_in(key, j))
+        seed = jax.random.normal(ks, (1, image_size, image_size, in_channels))
+        lab = int(jax.random.randint(kl, (), 0, nlabels)) if conditional else None
+        return seed, lab
+
+    def emit(j, seed, out_j, lab):
+        save_array(os.path.join(seed_dir, f"{j:04d}"), np.asarray(seed), fmt)
+        save_array(os.path.join(out_path, f"{j:04d}"), out_j, fmt)
+        if conditional:
+            save_array(
+                os.path.join(lab_dir, f"{j:04d}"), np.asarray([lab], np.int64), fmt
+            )
+
     idx = min_iter
     while idx < numiters:
-        n = 1 if conditional else min(batch, numiters - idx)
-        seeds = []
-        labels = []
-        for j in range(idx, idx + n):
-            ks, kl = jax.random.split(jax.random.fold_in(key, j))
-            seeds.append(
-                jax.random.normal(ks, (1, image_size, image_size, in_channels))
-            )
-            if conditional:
-                labels.append(int(jax.random.randint(kl, (), 0, nlabels)))
-        x = jnp.concatenate(seeds, axis=0)
-        label = labels[0] if conditional else None
-        out = np.asarray(machine(x, label=label))
-        for j in range(n):
-            save_array(os.path.join(seed_dir, f"{idx + j:04d}"), np.asarray(seeds[j]), fmt)
-            save_array(os.path.join(out_path, f"{idx + j:04d}"), out[j : j + 1], fmt)
-            if conditional:
-                save_array(
-                    os.path.join(lab_dir, f"{idx + j:04d}"),
-                    np.asarray([labels[j]], np.int64),
-                    fmt,
-                )
+        n = min(batch, numiters - idx)
+        drawn = [draw(j) for j in range(idx, idx + n)]
+        if conditional:
+            # group seeds by label so conditional generation still batches
+            by_label = {}
+            for off, (seed, lab) in enumerate(drawn):
+                by_label.setdefault(lab, []).append(off)
+            for lab, offs in by_label.items():
+                x = jnp.concatenate([drawn[o][0] for o in offs], axis=0)
+                out = np.asarray(machine(x, label=lab))
+                for row, o in enumerate(offs):
+                    emit(idx + o, drawn[o][0], out[row : row + 1], lab)
+        else:
+            x = jnp.concatenate([s for s, _ in drawn], axis=0)
+            out = np.asarray(machine(x))
+            for o in range(n):
+                emit(idx + o, drawn[o][0], out[o : o + 1], None)
         produced += n
         idx += n
         if idx % max(1, 10 * n) == 0:

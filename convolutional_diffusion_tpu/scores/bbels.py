@@ -51,9 +51,23 @@ HI = jax.lax.Precision.HIGHEST
 
 
 class LocalEquivBordersScoreModule(ScoreModuleBase):
-    def __init__(self, dataset, *, batch_size: int = 64, target_block: int = 8192, **kw):
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int = 64,
+        target_block: int = 8192,
+        use_pallas: bool | None = None,
+        bank_budget_bytes: int = 4 << 30,
+        **kw,
+    ):
         super().__init__(dataset, batch_size=batch_size, **kw)
         self.target_block = target_block
+        self.use_pallas = use_pallas
+        # cumulative across kernel sizes (see els.py note)
+        self.bank_budget_bytes = bank_budget_bytes
+        self._bank_cache = {}
+        self._bank_bytes_used = 0
         self._local_fallback = LocalScoreModule(
             dataset,
             kernel_size=self.kernel_size,
@@ -62,25 +76,79 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             max_samples=self.max_samples,
         )
 
+    def _center_bank(self, k: int):
+        """Cached center-region bank: the interior windows are exactly the
+        valid k x k patches of the (unpadded) training images, so the center
+        of bbELS shares the ELS bank layout. Padded to the block multiple at
+        build time; None when over the HBM budget."""
+        if k in self._bank_cache:
+            return self._bank_cache[k]
+        n, h, w, c = self.images.shape
+        per = (h - 2 * (k // 2)) * (w - 2 * (k // 2))
+        d = k * k * c
+        nbytes = n * per * (d + c + 1) * 4
+        if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
+            self._bank_cache[k] = None
+            return None
+        self._bank_bytes_used += nbytes
+        B = self.target_block
+        ptot = n * per
+        padn = (-ptot) % B
+
+        @jax.jit
+        def build(images):
+            patches = extract_patches(images, k).reshape(ptot, d)
+            ctr = patches[..., center_index(k, c)]
+            pn = jnp.sum(patches**2, -1)
+            if padn:
+                patches = jnp.concatenate([patches, jnp.zeros((padn, d))])
+                ctr = jnp.concatenate([ctr, jnp.zeros((padn, c))])
+                pn = jnp.concatenate([pn, jnp.zeros((padn,))])
+            return patches, ctr, pn
+
+        self._bank_cache[k] = build(self.images)
+        return self._bank_cache[k]
+
     def __call__(self, t, x, label=None, device=None, k=None):
         kk = int(k) if k is not None else self.kernel_size
         if kk >= self.image_size:
             # reference fallback: idealscore.py:162-164
             return self._local_fallback(t, x, label=label, k=kk)
-        return super().__call__(t, x, label=label, k=kk)
+        bank = self._center_bank(kk)
+        if bank is None:
+            return super().__call__(t, x, label=label, k=kk)
+        from .base import _as_scalar_t
+
+        x = jnp.asarray(x, jnp.float32)
+        t = _as_scalar_t(t)
+        beta = self.schedule(t)
+        at = jnp.sqrt(1.0 - beta)
+        bt = jnp.sqrt(beta)
+        has_label = label is not None
+        key = ("bank", kk, x.shape, has_label)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(
+                k=kk, x_shape=x.shape, has_label=has_label, center_banked=True
+            )
+        lab = jnp.asarray(label if has_label else -1, jnp.int32)
+        return self._jit_cache[key](self.images, self.labels, x, lab, at, bt, *bank)
 
     def _chunk_images(self, k: int) -> int:
         h = self.images.shape[1]
         per_img = (h - 2 * (k // 2)) ** 2
         return max(1, self.target_block // max(per_img, 1))
 
-    def _build(self, *, k: int, x_shape, has_label: bool):
+    def _build(self, *, k: int, x_shape, has_label: bool, center_banked: bool = False):
         batch_size = self.batch_size
         max_samples = self.max_samples
         cs = self._chunk_images(k)
         p = k // 2
+        B = self.target_block
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
 
-        def fn(images, labels, x, lab, at, bt):
+        def fn(images, labels, x, lab, at, bt, *bank_args):
             n, h, w, c = images.shape
             d = k * k * c
             b = x.shape[0]
@@ -136,7 +204,9 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             }
 
             states = {
-                "center": init_state((b, hc * wc), c),
+                **(
+                    {} if center_banked else {"center": init_state((b, hc * wc), c)}
+                ),
                 **{f"row_{nm}": init_state((p, b, wc), c) for nm in q_rows},
                 **{f"col_{nm}": init_state((p, b, hc), c) for nm in q_cols},
                 **{f"corner_{nm}": init_state((p * p, b), c) for nm in q_corners},
@@ -147,15 +217,18 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 iwin = extract_patches(pad_image(imgs_c, p, "zeros"), k)
                 out = dict(states)
 
-                # center: bank = all interior windows of all chunk images
-                bank = iwin[:, rc, cc, :].reshape(cs * hc * wc, d)
-                pn = jnp.sum(bank**2, axis=-1)
-                dots = jnp.einsum("bqd,pd->bqp", q_center, bank, precision=HI)
-                logits = -(qn_center[..., None] - 2 * at * dots + at**2 * pn) / beta2
-                wb = jnp.repeat(w_c, hc * wc)
-                out["center"] = update_state(
-                    states["center"], logits, wb[None, None, :], bank[:, ctr]
-                )
+                if not center_banked:
+                    # center: bank = all interior windows of the chunk images
+                    bank = iwin[:, rc, cc, :].reshape(cs * hc * wc, d)
+                    pn = jnp.sum(bank**2, axis=-1)
+                    dots = jnp.einsum("bqd,pd->bqp", q_center, bank, precision=HI)
+                    logits = (
+                        -(qn_center[..., None] - 2 * at * dots + at**2 * pn) / beta2
+                    )
+                    wb = jnp.repeat(w_c, hc * wc)
+                    out["center"] = update_state(
+                        states["center"], logits, wb[None, None, :], bank[:, ctr]
+                    )
 
                 # rows: per border row r, bank = windows at (r, interior cols)
                 def rows_update(key, rows, q):
@@ -223,12 +296,68 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
 
             states, _ = jax.lax.scan(step, states, (images_p, w_img_p))
 
+            # --- center via the cached bank (flash kernel / MXU scan) -----
+            if center_banked:
+                bank, bank_ctr, bank_pn = bank_args
+                per = hc * wc
+                ptot = n * per
+                w_patch = jnp.repeat(w_img, per)
+                w_patch = jnp.concatenate(
+                    [w_patch, jnp.zeros((bank.shape[0] - ptot,), w_patch.dtype)]
+                )
+                M = b * per
+                q_flat = q_center.reshape(M, d)
+                qn_flat = qn_center.reshape(M)
+                bank_b = bank.reshape(-1, B, d)
+                ctr_b = bank_ctr.reshape(-1, B, c)
+                pn_b = bank_pn.reshape(-1, B)
+                w_b = w_patch.reshape(-1, B)
+                if use_pallas:
+                    from ..ops.flash_score import (
+                        flash_score_update,
+                        state_from_pallas,
+                        state_to_pallas,
+                    )
+
+                    def cstep(st, blk):
+                        kb, vb, pnb, wb = blk
+                        return (
+                            flash_score_update(
+                                q_flat, qn_flat, kb, pnb, vb, wb, at, bt, st
+                            ),
+                            None,
+                        )
+
+                    st0 = state_to_pallas(
+                        jnp.full((M,), -jnp.inf, jnp.float32),
+                        jnp.zeros((M,), jnp.float32),
+                        jnp.zeros((M, c), jnp.float32),
+                    )
+                    st, _ = jax.lax.scan(cstep, st0, (bank_b, ctr_b, pn_b, w_b))
+                    _, cs1, cs2 = state_from_pallas(*st)
+                else:
+
+                    def cstep(st, blk):
+                        kb, vb, pnb, wb = blk
+                        dots = jnp.einsum("qd,pd->qp", q_flat, kb, precision=HI)
+                        logits = (
+                            -(qn_flat[:, None] - 2 * at * dots + at**2 * pnb) / beta2
+                        )
+                        return update_state(st, logits, wb[None, :], vb), None
+
+                    st, _ = jax.lax.scan(
+                        cstep, init_state((M,), c), (bank_b, ctr_b, pn_b, w_b)
+                    )
+                    cs1, cs2 = st.s1, st.s2
+                mc = (cs2 / cs1[:, None]).reshape(b, hc, wc, c)
+
             # --- assemble the score image -------------------------------
             def mean_v(st):
                 return st.s2 / st.s1[..., None]
 
+            if not center_banked:
+                mc = mean_v(states["center"]).reshape(b, hc, wc, c)
             out = jnp.zeros_like(x)
-            mc = mean_v(states["center"]).reshape(b, hc, wc, c)
             out = out.at[:, rc, cc, :].set(-(x[:, rc, cc, :] - at * mc) / (bt**2))
 
             for nm, rows in (("top", top), ("bottom", bottom)):

@@ -124,22 +124,27 @@ class LocalEquivScoreModule(ScoreModuleBase):
         # Patch banks are immutable per (k, dataset): cache the extracted
         # [P_total, d] bank in HBM when it fits the budget, so extraction
         # amortizes to zero across ScheduledScoreMachine steps and samples
-        # (the sweep becomes pure MXU matmuls over bank blocks).
+        # (the sweep becomes pure MXU matmuls over bank blocks). The budget
+        # is CUMULATIVE across kernel sizes — a 20-step scales schedule
+        # touches up to 8 distinct k's and their banks would otherwise sum
+        # past HBM.
         self.bank_budget_bytes = bank_budget_bytes
         self._bank_cache = {}
+        self._bank_bytes_used = 0
 
     def _bank(self, k: int):
         """(bank [P,d], centers [P,c], pn [P]) device arrays, or None if the
-        bank exceeds the HBM budget (fall back to on-the-fly extraction)."""
+        bank exceeds the remaining HBM budget (fall back to on-the-fly)."""
         if k in self._bank_cache:
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
         per_img = (h - k + 1) * (w - k + 1)
         d = k * k * c
         nbytes = n * per_img * (d + c + 1) * 4
-        if nbytes > self.bank_budget_bytes:
+        if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
             self._bank_cache[k] = None
             return None
+        self._bank_bytes_used += nbytes
 
         B = self.target_block
         ptot = n * per_img

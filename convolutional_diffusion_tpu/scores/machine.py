@@ -48,11 +48,21 @@ class ScheduledScoreMachine:
         self.score_backbone = score_backbone
         self.scales = list(scales) if scales is not None else None
 
-    def __call__(self, x, nsteps=None, label=None, collect_trajectory=False):
+    def __call__(
+        self,
+        x,
+        nsteps=None,
+        label=None,
+        collect_trajectory=False,
+        visualize_fn=None,
+    ):
         """Run the reverse loop from x (NHWC [b,h,w,c]); returns the sample.
 
-        With collect_trajectory=True also returns the list of per-step states
+        collect_trajectory=True also returns the list of per-step states
         (after each update), used by the exterior-derivative analysis.
+        visualize_fn, if given, receives (step_i, imputed_x0) per step — the
+        denoised estimate (x - sqrt(beta) eps)/sqrt(1-beta), mirroring the
+        reference's visualize flag (idealscore.py:104-106).
         """
         x = jnp.asarray(x, jnp.float32)
         if nsteps is None:
@@ -67,6 +77,9 @@ class ScheduledScoreMachine:
             k = None if self.scales is None else self.scales[i]
             score = self.backbone(t, x, label=label, k=k)
             eps = score * (-jnp.sqrt(beta_t)) if self.score_backbone else score
+            if visualize_fn is not None:
+                imputed = (x - eps * jnp.sqrt(beta_t)) / jnp.sqrt(1.0 - beta_t)
+                visualize_fn(i, imputed)
             beta_prev = self.noise_schedule(t - 1.0 / nsteps)
             tb = jnp.full((b,), beta_t)
             tbp = jnp.full((b,), beta_prev)

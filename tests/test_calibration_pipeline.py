@@ -138,6 +138,27 @@ class TestPipeline:
         s3b = np.load(os.path.join(out, "seeds", "0003.npy"))
         np.testing.assert_array_equal(s3a, s3b)
 
+    def test_conditional_batched_generation(self, machine, tmp_path):
+        """Conditional generation groups seeds by label; batched output must
+        equal the batch=1 run index-for-index (same fold_in seeds)."""
+        out_a = str(tmp_path / "a")
+        out_b = str(tmp_path / "b")
+        for out, bs in ((out_a, 1), (out_b, 6)):
+            pipeline.generate_els_samples(
+                machine, out, numiters=6, in_channels=1, image_size=8,
+                conditional=True, nlabels=3, batch=bs, log_fn=lambda s: None,
+            )
+        for i in range(6):
+            np.testing.assert_array_equal(
+                np.load(os.path.join(out_a, "labels", f"{i:04d}.npy")),
+                np.load(os.path.join(out_b, "labels", f"{i:04d}.npy")),
+            )
+            np.testing.assert_allclose(
+                np.load(os.path.join(out_a, "els_outputs", f"{i:04d}.npy")),
+                np.load(os.path.join(out_b, "els_outputs", f"{i:04d}.npy")),
+                rtol=2e-4, atol=1e-5,
+            )
+
     def test_fill_mode(self, machine, tmp_path):
         out = str(tmp_path / "exp")
         pipeline.generate_els_samples(
