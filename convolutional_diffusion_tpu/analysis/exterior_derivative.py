@@ -23,6 +23,7 @@ __all__ = [
     "compute_exterior_derivative_nd",
     "exterior_derivative_magnitude",
     "is_closed",
+    "is_exact",
     "conservative_field",
     "rotation_field",
 ]
@@ -73,6 +74,12 @@ def exterior_derivative_magnitude(df: jnp.ndarray) -> jnp.ndarray:
 def is_closed(df: jnp.ndarray, tol: float = 1e-5) -> jnp.ndarray:
     """df == 0 (field is closed/conservative) per batch element."""
     return exterior_derivative_magnitude(df) < tol
+
+
+def is_exact(df: jnp.ndarray, tol: float = 1e-6) -> bool:
+    """All-close-to-zero check over the whole batch (reference
+    exterior_derivative.py:274-285; on contractible domains exact == closed)."""
+    return bool(jnp.all(jnp.abs(df) <= tol))
 
 
 # --- example fields for tests/demos (reference `:205-285`) -----------------

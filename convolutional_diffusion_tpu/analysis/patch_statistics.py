@@ -134,7 +134,8 @@ def radial_power_spectrum(patch: jnp.ndarray):
         jnp.ones((h * w,)), rbin.reshape(-1), num_segments=nbins
     )
     radial = sums / jnp.maximum(counts, 1)
-    return np.arange(nbins), np.asarray(radial)
+    # jnp (not numpy) so the function stays vmap/jit-composable
+    return np.arange(nbins), radial
 
 
 def analyze_patch_distances(
@@ -170,7 +171,7 @@ def analyze_patch_distances(
             "max": float(dists.max()),
         },
         "fits": fits,
-        "power_spectrum": {"radii": radii.tolist(), "power": power.tolist()},
+        "power_spectrum": {"radii": radii.tolist(), "power": np.asarray(power).tolist()},
     }
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)

@@ -157,6 +157,46 @@ def sample(
     )
 
 
+def sample_sharded(
+    model: DiffusionModel,
+    params,
+    mesh,
+    *,
+    batch_size: int,
+    nsteps: int = 20,
+    label=None,
+    key: Optional[jax.Array] = None,
+    ddpm: bool = False,
+):
+    """Multi-seed sampling spread across a device mesh: seeds shard over the
+    'data' axis, params replicate — each chip runs its slice of the batch
+    through the same scan (no collectives needed; SURVEY §5's third
+    TPU-parallel component). batch_size must divide by the mesh size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if key is None:
+        raise ValueError("need a PRNG key")
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} not divisible by {n_dev} devices")
+    key, sub = jax.random.split(key)
+    x = jax.random.normal(
+        sub,
+        (batch_size, model.default_imsize, model.default_imsize, model.in_channels),
+        jnp.float32,
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    if label is not None:
+        label = jax.device_put(
+            jnp.asarray(label), NamedSharding(mesh, P("data"))
+        )
+    return sample_scan(
+        model.apply, model.noise_schedule, params, x,
+        nsteps=nsteps, label=label, key=key, ddpm=ddpm,
+    )
+
+
 def q_sample(x0, eps, beta_t):
     """Forward noising x_t = sqrt(1-beta) x0 + sqrt(beta) eps
     (reference src/utils/train.py:43-44)."""

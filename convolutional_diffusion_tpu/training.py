@@ -115,6 +115,7 @@ def train_diffusion(
     checkpoint_dir: Optional[str] = None,
     checkpoint_extra: Optional[dict] = None,
     use_native_loader: bool = False,
+    resume_from: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
 ):
     """Full training loop. Returns (params, opt_state, history).
@@ -149,6 +150,25 @@ def train_diffusion(
     params = jax.tree_util.tree_map(jnp.array, params)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if resume_from is not None:
+        # full resume incl. AdamW moments + LR schedule position (the
+        # reference cannot do this — it pickles only the model, SURVEY §5)
+        from .utils.checkpoint import restore_checkpoint
+
+        blob = restore_checkpoint(resume_from)
+        restored = blob["state"]
+        params = jax.tree_util.tree_map(
+            lambda old, new: jnp.asarray(new, old.dtype), params, restored["params"]
+        )
+        if "opt_state" in restored:
+            opt_state = jax.tree_util.tree_map(
+                lambda old, new: jnp.asarray(new, jnp.asarray(old).dtype),
+                opt_state,
+                restored["opt_state"],
+            )
+        start_step = int(blob.get("meta", {}).get("step", 0))
+        log_fn(f"resumed from {resume_from} at step {start_step}")
     train_step = make_train_step(
         model, optimizer, max_t=config.max_t, conditional=conditional
     )
@@ -167,7 +187,7 @@ def train_diffusion(
     bs = config.batch_size
     steps_per_epoch = n // bs if config.drop_last else -(-n // bs)
     history = []
-    step = 0
+    step = start_step
     for epoch in range(config.epochs):
         perm = rs_perm = rng.permutation(n)
         epoch_losses = []
