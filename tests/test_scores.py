@@ -155,6 +155,48 @@ class TestBbELS:
             np.testing.assert_allclose(batched[i : i + 1], single, rtol=2e-4, atol=1e-4)
 
 
+class TestLargerBorders:
+    def test_bbels_k7_on_12x12(self, z):
+        """3-pixel border bands: stresses the region decomposition beyond
+        the k=3/5-on-8x8 goldens."""
+        imgs = np.transpose(z["big/imgs"], (0, 2, 3, 1))
+        labs = z["big/labs"].astype(np.int32)
+        x = np.transpose(z["big/x"], (0, 2, 3, 1))
+        t = float(z["t"][0])
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=7, batch_size=4, image_size=12,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x), z, "big/bbels_k7/out")
+
+
+class TestBatchedX:
+    def test_els_b2(self, z, data):
+        imgs, labs, x, t = data
+        x2 = np.transpose(z["x2"], (0, 2, 3, 1))
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x2), z, "els/k3b5x2/out")
+
+    def test_is_b2_lifts_reference_crash(self, z, data):
+        """The reference IS module cannot run b>1 (broadcast bug at
+        idealscore.py:636); ours must handle it, consistent with the b=1
+        results row by row."""
+        imgs, labs, x, t = data
+        x2 = np.transpose(z["x2"], (0, 2, 3, 1))
+        mod = IdealScoreModule(
+            (imgs, labs), batch_size=12, schedule=cosine_noise_schedule
+        )
+        batched = np.asarray(mod(t, x2))
+        for i in range(2):
+            single = np.asarray(mod(t, x2[i : i + 1]))
+            np.testing.assert_allclose(
+                batched[i : i + 1], single, rtol=1e-5, atol=1e-5
+            )
+
+
 class TestMachine:
     def test_els_machine(self, z, data):
         imgs, labs, x, t = data

@@ -246,6 +246,35 @@ def main():
                     ts, xs.clone(), device=dev
                 ).numpy()
 
+    # larger-border bbELS: k=7 on 12x12 (3-pixel border bands) stresses the
+    # region decomposition beyond the k=3/5-on-8x8 cases
+    rs2 = np.random.RandomState(9)
+    imgs12 = torch.tensor(rs2.uniform(-1, 1, size=(10, 2, 12, 12)).astype(np.float32))
+    labs12 = torch.tensor(rs2.randint(0, 2, size=(10,)).astype(np.int64))
+    ds12 = TensorDataset(imgs12, labs12)
+    x12 = torch.randn(1, 2, 12, 12, generator=torch.Generator().manual_seed(2))
+    arrays["big/imgs"] = imgs12.numpy()
+    arrays["big/labs"] = labs12.numpy()
+    arrays["big/x"] = x12.numpy()
+    mod = idealscore.LocalEquivBordersScoreModule(
+        ds12, kernel_size=7, batch_size=4, image_size=12,
+        schedule=cosine_noise_schedule,
+    )
+    with torch.no_grad():
+        arrays["big/bbels_k7/out"] = mod(ts, x12.clone(), device=dev).numpy()
+
+    # batched (b=2) ELS / IS parity (the reference supports b>1 for these)
+    xs2 = torch.cat([xs, 0.5 * torch.flip(xs, dims=[-1])], dim=0)
+    arrays["x2"] = xs2.numpy()
+    mod = idealscore.LocalEquivScoreModule(
+        ds, kernel_size=3, batch_size=5, schedule=cosine_noise_schedule
+    )
+    with torch.no_grad():
+        arrays["els/k3b5x2/out"] = mod(ts, xs2.clone(), device=dev).numpy()
+    # NOTE: IdealScoreModule crashes for b>1 in the reference (its [b]
+    # denominator cannot broadcast against [b,c,h,w] unless b==w or b==1,
+    # idealscore.py:636) — verified here; our IS module lifts that.
+
     # ScheduledScoreMachine end-to-end (ELS backbone, 5 scales)
     scales = [3, 3, 5, 5, 3]
     mod = idealscore.LocalEquivScoreModule(
