@@ -23,6 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the first run pays ~8 min of remote compiles,
+# subsequent runs hit the cache
+try:
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 
 def time_fn(fn, *args, warmup=1, iters=1):
     # NOTE: force a device->host transfer to fence each iteration — on this

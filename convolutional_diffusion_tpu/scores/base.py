@@ -48,8 +48,12 @@ class ScoreModuleBase:
         schedule: Callable = cosine_noise_schedule,
         max_samples: Optional[int] = None,
         chunk_size: Optional[int] = None,
+        precision: str = "highest",
         **_unused,
     ):
+        """precision: 'highest' (fp32 MXU passes — the <1e-3 torch-parity
+        configuration) or 'default' (bf16 MXU inputs, ~3e-3 relative error on
+        posterior means, up to ~5x faster dots)."""
         images, labels = dataset
         images = jnp.asarray(np.asarray(images), jnp.float32)
         if images.ndim != 4:
@@ -62,6 +66,12 @@ class ScoreModuleBase:
         self.channels = channels or images.shape[-1]
         self.schedule = schedule
         self.max_samples = max_samples
+        self.precision = precision
+        self.prec = (
+            jax.lax.Precision.HIGHEST
+            if precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
         # compute-chunk size (images per scan step); reference semantics are
         # keyed to `batch_size`, so weights are computed per reference batch
         # regardless of the compute chunk.

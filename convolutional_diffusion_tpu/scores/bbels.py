@@ -147,6 +147,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        HI = self.prec  # shadows the module-level fp32 default
+        precision = self.precision
 
         def fn(images, labels, x, lab, at, bt, *bank_args):
             n, h, w, c = images.shape
@@ -323,7 +325,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                         kb, vb, pnb, wb = blk
                         return (
                             flash_score_update(
-                                q_flat, qn_flat, kb, pnb, vb, wb, at, bt, st
+                                q_flat, qn_flat, kb, pnb, vb, wb, at, bt, st,
+                                precision=precision,
                             ),
                             None,
                         )

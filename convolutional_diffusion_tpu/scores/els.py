@@ -49,6 +49,7 @@ def els_sweep(
     per_img: int,
     c: int,
     use_pallas: bool,
+    precision: str = "highest",
 ):
     """Stream the chunked patch bank through the online softmax; returns the
     flat running state (m [M], s1 [M], s2 [M, c]) with -inf empty convention.
@@ -70,7 +71,8 @@ def els_sweep(
             w_p = jnp.repeat(w_c, per_img)
             return (
                 flash_score_update(
-                    xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state
+                    xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state,
+                    precision=precision,
                 ),
                 None,
             )
@@ -89,9 +91,11 @@ def els_sweep(
         centers = patch_centers(patches, k, c)
         pn = jnp.sum(patches**2, axis=-1)
         w_p = jnp.repeat(w_c, per_img)
-        dots = jnp.einsum(
-            "qd,pd->qp", xq_flat, patches, precision=jax.lax.Precision.HIGHEST
+        prec = (
+            jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT
         )
+        dots = jnp.einsum("qd,pd->qp", xq_flat, patches, precision=prec)
         logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pn) / beta2
         return update_state(state, logits, w_p[None, :], centers), None
 
@@ -215,7 +219,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
                     kb, vb, pnb, wb = blk
                     return (
                         flash_score_update(
-                            xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state
+                            xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state,
+                            precision=self.precision,
                         ),
                         None,
                     )
@@ -233,10 +238,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
                 def step(state, blk):
                     kb, vb, pnb, wb = blk
-                    dots = jnp.einsum(
-                        "qd,pd->qp", xq_flat, kb,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    dots = jnp.einsum("qd,pd->qp", xq_flat, kb, precision=self.prec)
                     logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
                     return update_state(state, logits, wb[None, :], vb), None
 
@@ -317,6 +319,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
             _, s1_, s2_ = els_sweep(
                 images_p, w_img_p, xq_flat, qn_flat, at, bt,
                 k=k, cs=cs, per_img=per_img, c=c, use_pallas=use_pallas,
+                precision=self.precision,
             )
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)

@@ -65,9 +65,7 @@ class IdealScoreModule(ScoreModuleBase):
 
             def step(state, chunk):
                 imgs_c, w_c, n_c = chunk
-                dots = jnp.dot(
-                    xf, imgs_c.T, precision=jax.lax.Precision.HIGHEST
-                )  # [b, cs]
+                dots = jnp.dot(xf, imgs_c.T, precision=self.prec)  # [b, cs]
                 logits = -(xn[:, None] - 2.0 * at * dots + at**2 * n_c[None, :]) / beta2
                 return update_state(state, logits, w_c[None, :], imgs_c), None
 

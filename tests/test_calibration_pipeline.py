@@ -101,6 +101,30 @@ class TestCalibrate:
         assert np.all(res["k_optimals"] == 3)
 
 
+class TestCalibrateWithReferencePickle:
+    def test_calibrate_cli_accepts_pt_model(self, tmp_path):
+        """The calibrate CLI must ingest a reference-format .pt whole pickle
+        directly (scales_calibration.py workflow)."""
+        import os
+
+        pkl = os.path.join(
+            os.path.dirname(__file__), "goldens", "pickles", "backbone_resnet_cond.pt"
+        )
+        if not os.path.exists(pkl):
+            pytest.skip("golden pickle missing")
+        from convolutional_diffusion_tpu.cli import calibrate as cal_cli
+
+        tld = str(tmp_path / "out")
+        cal_cli.main([
+            "--modelfile", pkl, "--dataset", "synthetic",
+            "--kernelsizes", "3", "--nsamps", "2", "--nsteps", "2",
+            "--scorebatchsize", "32", "--maxsamps", "32", "--tld", tld, "--cpu",
+            "--conditional",
+        ])
+        med = np.load(str(tmp_path / "out" / "scales_median.npy"))
+        assert med.shape == (2,) and set(med) == {3}
+
+
 class TestPipeline:
     @pytest.fixture
     def machine(self, tiny_setup):
