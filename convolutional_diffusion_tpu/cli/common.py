@@ -141,7 +141,8 @@ def model_config_meta(backbone, in_channels: int, imsize: int) -> str:
 
 def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
                        image_size: int, channels: int, schedule,
-                       max_samples: Optional[int] = None, kernel_size: int = 3):
+                       max_samples: Optional[int] = None, kernel_size: int = 3,
+                       precision: str = "highest"):
     """Score-module factory matching els_script.py:69-96 / calibration
     :91-117 (LS and IS get batch_size=len(dataset) there)."""
     from ..scores import (
@@ -156,22 +157,23 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
         return LocalEquivScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
-            max_samples=max_samples,
+            max_samples=max_samples, precision=precision,
         )
     if kind == "bbELS":
         return LocalEquivBordersScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
-            max_samples=max_samples,
+            max_samples=max_samples, precision=precision,
         )
     if kind == "LS":
         return LocalScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=n,
             image_size=image_size, schedule=schedule, max_samples=max_samples,
+            precision=precision,
         )
     if kind == "IS":
         return IdealScoreModule(
             dataset_tuple, batch_size=n, image_size=image_size,
-            schedule=schedule, max_samples=max_samples,
+            schedule=schedule, max_samples=max_samples, precision=precision,
         )
     raise ValueError(f"Unknown scoremoduletype: {kind}")

@@ -54,6 +54,9 @@ def main(argv=None):
                         help="seeds per machine invocation (TPU batching)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fmt", type=str, default="npy", choices=["npy", "pt"])
+    parser.add_argument("--precision", type=str, default="highest",
+                        choices=["highest", "default"],
+                        help="'default' = bf16 MXU fast mode (~3e-3 rel err)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -84,6 +87,7 @@ def main(argv=None):
         channels=in_channels,
         schedule=cosine_noise_schedule,
         max_samples=args.max_samples,
+        precision=args.precision,
     )
 
     scalesfile = args.scalesfile or auto_detect_scales(

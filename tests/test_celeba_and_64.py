@@ -1,0 +1,63 @@
+"""CelebA directory loader (PIL path) and the 64x64 training CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from convolutional_diffusion_tpu import data
+
+
+class TestCelebALoader:
+    def _make_celeba(self, tmp_path, n=6):
+        from PIL import Image
+
+        d = tmp_path / "celeba" / "img_align_celeba"
+        d.mkdir(parents=True)
+        rs = np.random.RandomState(0)
+        names = []
+        for i in range(n):
+            arr = rs.randint(0, 256, size=(218, 178, 3), dtype=np.uint8)
+            name = f"{i + 1:06d}.jpg"
+            Image.fromarray(arr).save(d / name)
+            names.append(name)
+        # partition file: first 4 train, last 2 valid
+        with open(tmp_path / "celeba" / "list_eval_partition.txt", "w") as f:
+            for i, name in enumerate(names):
+                f.write(f"{name} {0 if i < 4 else 1}\n")
+        return names
+
+    def test_train_valid_split_and_shape(self, tmp_path):
+        self._make_celeba(tmp_path)
+        train, meta = data.get_dataset("celeba", root=str(tmp_path))
+        assert train.images.shape == (4, 32, 32, 3)
+        assert train.images.min() >= -1 and train.images.max() <= 1
+        valid, _ = data.get_dataset("celeba", root=str(tmp_path), train=False)
+        assert valid.images.shape == (2, 32, 32, 3)
+
+    def test_64x64_resize(self, tmp_path):
+        self._make_celeba(tmp_path)
+        ds, _ = data.get_dataset("celeba", root=str(tmp_path), image_size=64)
+        assert ds.images.shape == (4, 64, 64, 3)
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            data.get_dataset("celeba", root=str(tmp_path))
+
+
+def test_train_64x64_cli_end_to_end(tmp_path):
+    from convolutional_diffusion_tpu.cli import train_64x64
+    from convolutional_diffusion_tpu.cli.common import load_model
+
+    home = str(tmp_path / "ckpts")
+    train_64x64.main([
+        "--dataset", "synthetic", "--epochs", "1", "--batchsize", "4",
+        "--layers", "2", "--mult", "1", "--homedir", home,
+        "--saveinterval", "1", "--suppress", "--maxsamps", "8",
+        "--ndevices", "1",
+    ])
+    sub = os.listdir(home)
+    assert sub and sub[0].endswith("_64x64")
+    model, params = load_model(os.path.join(home, sub[0]))
+    assert model.default_imsize == 64
+    assert model.backbone.fsizes == (64, 128)
