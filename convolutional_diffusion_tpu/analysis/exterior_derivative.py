@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "ExteriorDerivative",
     "compute_exterior_derivative",
     "compute_exterior_derivative_nd",
     "exterior_derivative_magnitude",
@@ -80,6 +81,24 @@ def is_exact(df: jnp.ndarray, tol: float = 1e-6) -> bool:
     """All-close-to-zero check over the whole batch (reference
     exterior_derivative.py:274-285; on contractible domains exact == closed)."""
     return bool(jnp.all(jnp.abs(df) <= tol))
+
+
+class ExteriorDerivative:
+    """Pipeline-transform wrapper (reference `ExteriorDerivative` class,
+    exterior_derivative.py:147-171): holds a field fn and exposes callable
+    df computation, for composing into analysis pipelines."""
+
+    def __init__(self, fn: Callable, flatten: bool = True):
+        self.fn = fn
+        self.flatten = flatten
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.flatten and x.ndim > 2:
+            return compute_exterior_derivative_nd(x, self.fn)
+        return compute_exterior_derivative(x, self.fn)
+
+    def magnitude(self, x: jnp.ndarray) -> jnp.ndarray:
+        return exterior_derivative_magnitude(self(x))
 
 
 # --- example fields for tests/demos (reference `:205-285`) -----------------

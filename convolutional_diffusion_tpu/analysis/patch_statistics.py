@@ -39,8 +39,20 @@ def random_patches(
 ) -> jnp.ndarray:
     """num_samples random k x k crops, one per randomly chosen image.
 
-    images: [N, h, w, c] -> [num_samples, k, k, c].
+    Accepts [N, h, w, c], [N, h, w] (channelless), or a single [h, w(, c)]
+    image (robust-shape handling mirroring the reference's RandomCrop,
+    patch_statistics.py:126-193) -> [num_samples, k, k, c].
     """
+    images = jnp.asarray(images)
+    if images.ndim == 2:  # single grayscale image
+        images = images[None, :, :, None]
+    elif images.ndim == 3:
+        # [N, h, w] stack vs single [h, w, c] image: a trailing dim of 1-4
+        # channels disambiguates as a single image
+        if images.shape[-1] <= 4:
+            images = images[None]
+        else:
+            images = images[..., None]
     n, h, w, c = images.shape
     k = patch_size
     if k > h or k > w:

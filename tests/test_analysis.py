@@ -91,6 +91,27 @@ class TestPatchStatistics:
         assert patches.shape == (50, 5, 5, 3)
         assert np.abs(np.asarray(patches)).max() <= 1.0
 
+    def test_shape_robustness(self):
+        """2D / 3D inputs accepted (reference RandomCrop robustness)."""
+        key = jax.random.PRNGKey(0)
+        single2d = jnp.ones((16, 16))
+        assert ps.random_patches(single2d, 4, 5, key).shape == (5, 4, 4, 1)
+        stack3d = jnp.ones((6, 16, 16))
+        assert ps.random_patches(stack3d, 4, 5, key).shape == (5, 4, 4, 1)
+        single_hwc = jnp.ones((16, 16, 3))
+        assert ps.random_patches(single_hwc, 4, 5, key).shape == (5, 4, 4, 3)
+
+    def test_exterior_derivative_class_wrapper(self):
+        from convolutional_diffusion_tpu.analysis.exterior_derivative import (
+            ExteriorDerivative,
+            conservative_field,
+        )
+
+        ed = ExteriorDerivative(conservative_field, flatten=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4))
+        assert ed(x).shape == (2, 4, 4)
+        np.testing.assert_allclose(np.asarray(ed.magnitude(x)), 0.0, atol=1e-5)
+
     def test_patch_too_large_raises(self):
         ds = synthetic_dataset(num_samples=4, image_size=8, num_channels=1)
         with pytest.raises(ValueError):
