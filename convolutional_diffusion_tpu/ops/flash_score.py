@@ -44,7 +44,7 @@ def _kernel(
     qn_ref, pn_ref, w_ref, q_ref, k_ref, v_ref, scale_ref,
     m_in, s1_in, s2_in,
     m_ref, s1_ref, s2_ref,
-    *, precision, c, v_strategy,
+    *, precision, c, v_strategy, fast_exp,
 ):
     # Everything stays 2D in natural orientation (qn/m/s1: [BQ, 1] columns;
     # pn/w: [1, BP] rows) — 1-wide column extractions would force Mosaic
@@ -62,10 +62,27 @@ def _kernel(
     at = scale_ref[0, 0]
     inv2bt2 = scale_ref[0, 1]
 
-    dots = jnp.dot(
-        q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [BQ, BP]
+    if fast_exp and precision != jax.lax.Precision.HIGHEST:
+        # manual bf16x3 (the 'HIGH' algorithm — Mosaic kernels only expose
+        # DEFAULT/HIGHEST): split into hi/lo bf16 parts; error ~2^-16 rel,
+        # harmless even under the 1/(2 beta) logit amplification, at half
+        # the MXU passes of HIGHEST.
+        q = q_ref[:, :]
+        kt = k_ref[:, :].T
+        qh = q.astype(jnp.bfloat16)
+        ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        kh = kt.astype(jnp.bfloat16)
+        kl = (kt - kh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dots = (
+            jnp.dot(qh, kh, preferred_element_type=jnp.float32)
+            + jnp.dot(qh, kl, preferred_element_type=jnp.float32)
+            + jnp.dot(ql, kh, preferred_element_type=jnp.float32)
+        )
+    else:
+        dots = jnp.dot(
+            q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [BQ, BP]
     logits = -(qn_ref[:, :] - 2.0 * at * dots + (at * at) * pn_ref[:, :]) * inv2bt2
     w = w_ref[:, :]  # [1, BP]
     logits = jnp.where(w > 0.0, logits, NEG_INF)
@@ -74,10 +91,22 @@ def _kernel(
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
     # guard fully-empty rows (m == NEG_INF): exp offsets from 0
     m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
-    e = jnp.where(w > 0.0, w * jnp.exp(logits - m_safe), 0.0)  # [BQ, BP]
+    fast = fast_exp
+    if fast:
+        # fast mode: the exp/mask elementwise work dominates (VPU-bound);
+        # bf16 doubles VPU lanes. logits - m_safe <= 0 so exp in [0, 1] —
+        # bf16's ~3 decimal digits cost ~4e-3 relative on posterior means.
+        lz = (logits - m_safe).astype(jnp.bfloat16)
+        e = jnp.where(
+            w > 0.0, w.astype(jnp.bfloat16) * jnp.exp(lz), jnp.bfloat16(0.0)
+        )  # [BQ, BP] bf16; reductions below accumulate in fp32
+    else:
+        e = jnp.where(w > 0.0, w * jnp.exp(logits - m_safe), 0.0)  # [BQ, BP]
     scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
 
-    s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(e, axis=1, keepdims=True)
+    s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
+        e, axis=1, keepdims=True, dtype=jnp.float32
+    )
     if v_strategy == "vpu":
         # c is tiny (1-3 image channels): an MXU e @ V with V padded to 128
         # lanes would waste 128/c of the array. Instead V arrives TRANSPOSED
@@ -88,21 +117,27 @@ def _kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (bq, cp), 1)
         s2_acc = s2_ref[:, :] * scale
         for ci in range(c):
+            vrow = v_ref[ci : ci + 1, :]
+            if fast:
+                vrow = vrow.astype(jnp.bfloat16)
             contrib = jnp.sum(
-                e * v_ref[ci : ci + 1, :], axis=1, keepdims=True
+                e * vrow, axis=1, keepdims=True, dtype=jnp.float32
             )  # [BQ, 1]
             s2_acc = s2_acc + jnp.where(lane == ci, contrib, 0.0)
         s2_ref[:, :] = s2_acc
     else:
+        v = v_ref[:, :].astype(jnp.bfloat16) if fast else v_ref[:, :]
         s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
-            e, v_ref[:, :], preferred_element_type=jnp.float32, precision=precision
+            e, v, preferred_element_type=jnp.float32, precision=precision
         )
     m_ref[:, :] = m_new
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_p", "interpret", "precision", "v_strategy"),
+    static_argnames=(
+        "block_q", "block_p", "interpret", "precision", "v_strategy", "fast_exp"
+    ),
 )
 def flash_score_update(
     q: jnp.ndarray,  # [M, d]
@@ -120,6 +155,7 @@ def flash_score_update(
     interpret: bool = False,
     precision: str = "highest",
     v_strategy: str = "auto",
+    fast_exp: bool | None = None,
 ):
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
@@ -131,7 +167,14 @@ def flash_score_update(
     v_strategy: 'mxu' computes e @ V on the MXU (V lane-padded to 128 — a
     128/c waste for image channels); 'vpu' accumulates the c channels as
     VPU row-reductions over transposed V rows (the win for c<=3);
-    'auto' picks 'vpu' when c <= 8."""
+    'auto' picks 'vpu' when c <= 8.
+
+    fast_exp (default: precision != 'highest'): bf16 exp/mask elementwise —
+    the VPU-bound part — with fp32 reductions (~1% posterior-mean error at
+    sharp softmax temperatures, ~2x faster). NOTE: the QK dot itself should
+    stay 'highest' in diffusion score machines — at low noise the logits are
+    scaled by 1/(2 beta) and bf16 DOT error explodes (measured 19% at
+    t=0.05), while bf16 EXP error stays bounded."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,6 +188,8 @@ def flash_score_update(
     dp = _round_up(d, 128)
     cp = _round_up(c, 128)
 
+    if fast_exp is None:
+        fast_exp = precision != "highest"
     if v_strategy == "auto":
         v_strategy = "vpu" if c <= 8 else "mxu"
 
@@ -170,9 +215,15 @@ def flash_score_update(
 
     grid = (Mp // block_q, Pp // block_p)
 
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,  # 3-pass bf16 (~6e-6 rel dot error)
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     out_m, out_s1, out_s2 = pl.pallas_call(
-        functools.partial(_kernel, precision=prec, c=c, v_strategy=v_strategy),
+        functools.partial(
+            _kernel, precision=prec, c=c, v_strategy=v_strategy, fast_exp=fast_exp
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),

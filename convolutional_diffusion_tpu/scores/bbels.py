@@ -327,6 +327,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                             flash_score_update(
                                 q_flat, qn_flat, kb, pnb, vb, wb, at, bt, st,
                                 precision=precision,
+                                fast_exp=(precision != "highest"),
                             ),
                             None,
                         )

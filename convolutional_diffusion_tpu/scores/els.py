@@ -72,7 +72,11 @@ def els_sweep(
             return (
                 flash_score_update(
                     xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state,
+                    # keep the QK dot fp32 even in fast mode (low-noise logits
+                    # amplify dot error by 1/(2 beta)); bf16 only for the
+                    # VPU-bound exp/elementwise
                     precision=precision,
+                    fast_exp=(precision != "highest"),
                 ),
                 None,
             )
@@ -91,11 +95,9 @@ def els_sweep(
         centers = patch_centers(patches, k, c)
         pn = jnp.sum(patches**2, axis=-1)
         w_p = jnp.repeat(w_c, per_img)
-        prec = (
-            jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT
+        dots = jnp.einsum(
+            "qd,pd->qp", xq_flat, patches, precision=jax.lax.Precision.HIGHEST
         )
-        dots = jnp.einsum("qd,pd->qp", xq_flat, patches, precision=prec)
         logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pn) / beta2
         return update_state(state, logits, w_p[None, :], centers), None
 
@@ -221,6 +223,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                         flash_score_update(
                             xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state,
                             precision=self.precision,
+                            fast_exp=(self.precision != "highest"),
                         ),
                         None,
                     )
@@ -238,7 +241,10 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
                 def step(state, blk):
                     kb, vb, pnb, wb = blk
-                    dots = jnp.einsum("qd,pd->qp", xq_flat, kb, precision=self.prec)
+                    dots = jnp.einsum(
+                        "qd,pd->qp", xq_flat, kb,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
                     return update_state(state, logits, wb[None, :], vb), None
 

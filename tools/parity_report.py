@@ -1,0 +1,227 @@
+"""Generate PARITY.md: max deviations of this framework vs the recorded
+torch-reference goldens, across every golden case. Run on CPU:
+
+    python tools/parity_report.py
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def dev(ours, ref_nchw):
+    expect = nhwc(ref_nchw)
+    a = np.abs(np.asarray(ours) - expect)
+    scale = max(np.abs(expect).max(), 1e-12)
+    return a.max(), a.max() / scale
+
+
+def main():
+    import jax.numpy as jnp
+
+    from convolutional_diffusion_tpu import convert, sampling
+    from convolutional_diffusion_tpu.models import (
+        DiffusionModel,
+        MinimalResNet,
+        MinimalUNet,
+    )
+    from convolutional_diffusion_tpu.schedules import (
+        cosine_noise_schedule,
+        exponential_schedule,
+    )
+    from convolutional_diffusion_tpu.scores import (
+        IdealScoreModule,
+        LocalEquivBordersScoreModule,
+        LocalEquivScoreModule,
+        LocalScoreModule,
+        ScheduledScoreMachine,
+    )
+
+    rows = []
+
+    def add(section, case, ours, ref):
+        mx, rel = dev(ours, ref)
+        rows.append((section, case, mx, rel))
+
+    # ---- model forwards ----
+    z = np.load(os.path.join(GOLDEN_DIR, "resnet_forward.npz"))
+    cfgs = {
+        "zeros_plain": dict(mode="zeros", normalization=None, conditional=False),
+        "circular_plain": dict(mode="circular", normalization=None, conditional=False),
+        "zeros_norm_cond": dict(mode="zeros", normalization="GroupNorm",
+                                conditional=True, num_classes=10),
+        "zeros_noaddone": dict(mode="zeros", normalization=None,
+                               conditional=False, add_one=False),
+    }
+    for name, cfg in cfgs.items():
+        sd = {k.split("/sd/")[1]: z[k] for k in z.files if k.startswith(f"{name}/sd/")}
+        net = MinimalResNet(channels=3, emb_dim=16, kernel_size=3, num_layers=2,
+                            lastksize=3, **cfg)
+        params = convert.resnet_params_from_torch(
+            sd, num_layers=2, normalization=cfg["normalization"],
+            add_one=cfg.get("add_one", True), conditional=cfg["conditional"])
+        lab = jnp.asarray(z["label"]) if cfg["conditional"] else None
+        out = net.apply({"params": params}, jnp.asarray(z["t"]),
+                        jnp.asarray(nhwc(z["x"])), lab)
+        add("MinimalResNet forward", name, out, z[f"{name}/out"])
+
+    z = np.load(os.path.join(GOLDEN_DIR, "unet_forward.npz"))
+    ucfgs = {
+        "zeros_plain": dict(mode="zeros", normalization=None, conditional=False),
+        "circular_plain": dict(mode="circular", normalization=None, conditional=False),
+        "zeros_norm_cond": dict(mode="zeros", normalization="GroupNorm",
+                                conditional=True, num_classes=10, last_norm=True),
+    }
+    for name, cfg in ucfgs.items():
+        sd = {k.split("/sd/")[1]: z[k] for k in z.files if k.startswith(f"{name}/sd/")}
+        net = MinimalUNet(channels=3, fsizes=(8, 16, 32), emb_dim=16,
+                          kernel_size=3, lastksize=1, **cfg)
+        params = convert.unet_params_from_torch(
+            sd, n_feature_blocks=2, conditional=cfg["conditional"],
+            last_norm=cfg.get("last_norm", False))
+        lab = jnp.asarray(z["label"]) if cfg["conditional"] else None
+        out = net.apply({"params": params}, jnp.asarray(z["t"]),
+                        jnp.asarray(nhwc(z["x"])), lab)
+        add("MinimalUNet forward", name, out, z[f"{name}/out"])
+
+    # ---- samplers ----
+    z = np.load(os.path.join(GOLDEN_DIR, "sample.npz"))
+    sd = {k.split("sd/")[1]: z[k] for k in z.files if k.startswith("sd/")}
+    net = MinimalResNet(channels=3, emb_dim=16, kernel_size=3, num_layers=2,
+                        lastksize=3, mode="zeros")
+    params = convert.resnet_params_from_torch(sd, num_layers=2,
+                                              normalization=None,
+                                              conditional=False)
+    model = DiffusionModel(net, in_channels=3, default_imsize=16)
+    out = sampling.sample(model, params, x=jnp.asarray(nhwc(z["x0"])), nsteps=5)
+    add("DDIM sampler (5 steps)", "deterministic", out, z["out_ddim"])
+    out = sampling.sample(model, params, x=jnp.asarray(nhwc(z["x0"])), nsteps=5,
+                          breakstep=3)
+    add("DDIM sampler", "breakstep=3", out, z["out_break"])
+
+    # ---- score machines ----
+    z = np.load(os.path.join(GOLDEN_DIR, "scores.npz"))
+    imgs = nhwc(z["imgs"])
+    labs = z["labs"].astype(np.int32)
+    x = jnp.asarray(nhwc(z["x"]))
+    t = float(z["t"][0])
+
+    add("IdealScore", "uneven batches (b5)",
+        IdealScoreModule((imgs, labs), batch_size=5,
+                         schedule=cosine_noise_schedule)(t, x), z["is/b5/out"])
+    add("IdealScore", "label filter",
+        IdealScoreModule((imgs, labs), batch_size=5,
+                         schedule=cosine_noise_schedule)(t, x, label=1),
+        z["is/label1/out"])
+    add("IdealScore", "max_samples=8",
+        IdealScoreModule((imgs, labs), batch_size=5,
+                         schedule=cosine_noise_schedule, max_samples=8)(t, x),
+        z["is/max8/out"])
+    for k in (3, 5):
+        add("LocalScore", f"k={k}",
+            LocalScoreModule((imgs, labs), kernel_size=k, batch_size=12,
+                             schedule=cosine_noise_schedule)(t, x),
+            z[f"ls/k{k}/out"])
+    add("LocalScore", "exponential default schedule",
+        LocalScoreModule((imgs, labs), kernel_size=3, batch_size=12)(t, x),
+        z["ls/k3exp/out"])
+    for k in (3, 5):
+        for bs in (5, 12):
+            add("ELS", f"k={k} batch={bs}",
+                LocalEquivScoreModule((imgs, labs), kernel_size=k, batch_size=bs,
+                                      schedule=cosine_noise_schedule)(t, x),
+                z[f"els/k{k}b{bs}/out"])
+    add("ELS", "label filter",
+        LocalEquivScoreModule((imgs, labs), kernel_size=3, batch_size=5,
+                              schedule=cosine_noise_schedule)(t, x, label=2),
+        z["els/k3label2/out"])
+    add("ELS", "batched x (b=2)",
+        LocalEquivScoreModule((imgs, labs), kernel_size=3, batch_size=5,
+                              schedule=cosine_noise_schedule)(
+            t, jnp.asarray(nhwc(z["x2"]))),
+        z["els/k3b5x2/out"])
+    for k in (3, 5):
+        for bs in (5, 12):
+            add("bbELS", f"k={k} batch={bs}",
+                LocalEquivBordersScoreModule(
+                    (imgs, labs), kernel_size=k, batch_size=bs,
+                    schedule=cosine_noise_schedule)(t, x),
+                z[f"bbels/k{k}b{bs}/out"])
+    add("bbELS", "k=7 on 12x12 (3px borders)",
+        LocalEquivBordersScoreModule(
+            (nhwc(z["big/imgs"]), z["big/labs"].astype(np.int32)),
+            kernel_size=7, batch_size=4, image_size=12,
+            schedule=cosine_noise_schedule)(t, jnp.asarray(nhwc(z["big/x"]))),
+        z["big/bbels_k7/out"])
+
+    scales = [int(s) for s in z["machine/scales"]]
+    add("ScheduledScoreMachine", "ELS backbone, 5 steps",
+        ScheduledScoreMachine(
+            LocalEquivScoreModule((imgs, labs), kernel_size=3, batch_size=6,
+                                  schedule=cosine_noise_schedule),
+            in_channels=3, imsize=8, scales=scales)(x),
+        z["machine/els/out"])
+    add("ScheduledScoreMachine", "bbELS backbone, 5 steps",
+        ScheduledScoreMachine(
+            LocalEquivBordersScoreModule((imgs, labs), kernel_size=3, batch_size=6,
+                                         schedule=cosine_noise_schedule),
+            in_channels=3, imsize=8, scales=scales)(x),
+        z["machine/bbels/out"])
+
+    # ---- whole-pickle ingestion ----
+    zp = np.load(os.path.join(GOLDEN_DIR, "pickle_forward.npz"))
+    pk = os.path.join(GOLDEN_DIR, "pickles")
+    m, p = convert.diffusion_model_from_torch_pickle(
+        os.path.join(pk, "backbone_resnet_cond.pt"))
+    add("Checkpoint ingestion", "conditional ResNet .pt",
+        m.apply(p, jnp.asarray(zp["t"]), jnp.asarray(nhwc(zp["x"])),
+                jnp.asarray(zp["label"])), zp["resnet_out"])
+    m, p = convert.diffusion_model_from_torch_pickle(
+        os.path.join(pk, "backbone_unet.pt"))
+    add("Checkpoint ingestion", "GroupNorm UNet .pt",
+        m.apply(p, jnp.asarray(zp["t"]), jnp.asarray(nhwc(zp["x"])), None),
+        zp["unet_out"])
+
+    # ---- write report ----
+    lines = [
+        "# PARITY — this framework vs the torch reference",
+        "",
+        "Max deviations against golden outputs recorded by RUNNING the",
+        "reference (/root/reference) on fixed inputs (tools/make_goldens.py).",
+        "All runs fp32 `precision='highest'`. Target: <1e-3 relative",
+        "(BASELINE.md); regenerate with `python tools/parity_report.py`.",
+        "",
+        "| component | case | max abs dev | max rel-to-scale dev |",
+        "|---|---|---|---|",
+    ]
+    worst = 0.0
+    for section, case, mx, rel in rows:
+        lines.append(f"| {section} | {case} | {mx:.2e} | {rel:.2e} |")
+        worst = max(worst, rel)
+    lines += [
+        "",
+        f"**Worst relative deviation across all {len(rows)} cases: {worst:.2e}**",
+        "",
+    ]
+    path = os.path.join(REPO, "PARITY.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}: {len(rows)} cases, worst rel dev {worst:.2e}")
+
+
+if __name__ == "__main__":
+    main()
