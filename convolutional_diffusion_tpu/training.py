@@ -189,7 +189,7 @@ def train_diffusion(
     history = []
     step = start_step
     for epoch in range(config.epochs):
-        perm = rs_perm = rng.permutation(n)
+        perm = rng.permutation(n)
         epoch_losses = []
         t0 = time.time()
         for i in range(steps_per_epoch):

@@ -49,6 +49,16 @@ def batch_labels():
     return jnp.array([1, 7], jnp.int32)
 
 
+def pytest_collection_modifyitems(items):
+    """Auto-mark unit/integration by nodeid (reference conftest.py:156-162)."""
+    for item in items:
+        name = item.nodeid.lower()
+        if any(s in name for s in ("end_to_end", "cli", "machine", "parity")):
+            item.add_marker(pytest.mark.integration)
+        else:
+            item.add_marker(pytest.mark.unit)
+
+
 @pytest.fixture
 def tiny_dataset():
     """Small synthetic dataset: 16 images 8x8x1 in [-1,1], 4 classes."""
