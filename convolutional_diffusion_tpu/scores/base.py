@@ -89,6 +89,12 @@ class ScoreModuleBase:
         if k is None:
             k = self.kernel_size
         k = int(k)
+        if k % 2 == 0 or k < 1:
+            raise ValueError(
+                f"kernel size must be odd and positive, got {k} (the k//2 "
+                "window padding assumes a center pixel; the reference's "
+                "calibrated scales are all odd)"
+            )
         x = jnp.asarray(x, jnp.float32)
         t = _as_scalar_t(t)
         beta = self.schedule(t)

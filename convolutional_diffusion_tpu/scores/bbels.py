@@ -111,6 +111,10 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
 
     def __call__(self, t, x, label=None, device=None, k=None):
         kk = int(k) if k is not None else self.kernel_size
+        if kk % 2 == 0 or kk < 1:
+            raise ValueError(
+                f"kernel size must be odd and positive, got {kk}"
+            )
         if kk >= self.image_size:
             # reference fallback: idealscore.py:162-164
             return self._local_fallback(t, x, label=label, k=kk)

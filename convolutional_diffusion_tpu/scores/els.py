@@ -261,6 +261,10 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
     def __call__(self, t, x, label=None, device=None, k=None):
         kk = int(k) if k is not None else self.kernel_size
+        if kk % 2 == 0 or kk < 1:
+            raise ValueError(
+                f"kernel size must be odd and positive, got {kk}"
+            )
         bank = self._bank(kk)
         if bank is None:
             return super().__call__(t, x, label=label, k=kk)

@@ -221,6 +221,18 @@ class TestMachine:
         check(machine(jnp.asarray(x)), z, "machine/bbels/out", atol=5e-4)
 
 
+class TestEvenKernelGuard:
+    @pytest.mark.parametrize("cls", [
+        LocalScoreModule, LocalEquivScoreModule, LocalEquivBordersScoreModule
+    ])
+    def test_even_k_rejected(self, data, cls):
+        imgs, labs, x, t = data
+        mod = cls((imgs, labs), kernel_size=3, batch_size=12,
+                  schedule=cosine_noise_schedule)
+        with pytest.raises(ValueError, match="odd"):
+            mod(t, x, k=4)
+
+
 class TestStreamingSoftmax:
     def test_online_equals_dense(self):
         rs = np.random.RandomState(0)
