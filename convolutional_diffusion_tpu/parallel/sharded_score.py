@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.patches import extract_patches, pad_image
 from ..scores.common import CutoffRule, Weighting, image_weights
+from ..scores.bbels import LocalEquivBordersScoreModule
 from ..scores.els import LocalEquivScoreModule, els_sweep
 
 
@@ -127,6 +128,23 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
             return score.reshape(x.shape)
 
         return jax.jit(fn)
+
+
+class ShardedLocalEquivBordersScoreModule(LocalEquivBordersScoreModule):
+    """bbELS with the training set sharded over a mesh 'data' axis: every
+    region's partial softmax state (center, 4 edge-row/col families, 4
+    corner families) merges across devices with the same pmax/psum combine.
+    Semantics identical to LocalEquivBordersScoreModule."""
+
+    def __init__(self, dataset, *, mesh: Mesh, axis: str = "data", **kw):
+        self.mesh = mesh
+        self.axis = axis
+        super().__init__(dataset, **kw)
+
+    def _center_bank(self, k: int):
+        # the precomputed-bank fast path is single-device; the sharded sweep
+        # extracts per-shard banks inside shard_map
+        return None
 
 
 def shard_dataset(images, labels, mesh: Mesh, axis: str = "data"):

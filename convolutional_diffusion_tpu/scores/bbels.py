@@ -153,6 +153,10 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             use_pallas = jax.default_backend() not in ("cpu",)
         HI = self.prec  # shadows the module-level fp32 default
         precision = self.precision
+        # dataset sharding (set by parallel.ShardedLocalEquivBordersScoreModule)
+        mesh = getattr(self, "mesh", None)
+        shard_axis = getattr(self, "axis", "data")
+        n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
         def fn(images, labels, x, lab, at, bt, *bank_args):
             n, h, w, c = images.shape
@@ -167,12 +171,12 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 cutoff=CutoffRule.BATCH_QUOTA,
                 weighting=Weighting.SUM,
             )
-            pad = (-n) % cs
+            pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
                 [images, jnp.zeros((pad, h, w, c), images.dtype)]
-            ).reshape(-1, cs, h, w, c)
+            ).reshape((n_dev, -1, cs, h, w, c) if mesh is not None else (-1, cs, h, w, c))
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
-                -1, cs
+                (n_dev, -1, cs) if mesh is not None else (-1, cs)
             )
 
             xq = extract_patches(pad_image(x, p, "zeros"), k)  # [b, h, w, d]
@@ -300,7 +304,33 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
 
                 return out, None
 
-            states, _ = jax.lax.scan(step, states, (images_p, w_img_p))
+            if mesh is None:
+                states, _ = jax.lax.scan(step, states, (images_p, w_img_p))
+            else:
+                # dataset-sharded sweep: each device scans its image shard,
+                # then every region's partial state merges over ICI with the
+                # pmax/psum streaming-softmax combine
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded_score import merge_collective
+
+                def local(imgs_s, w_s):
+                    st, _ = jax.lax.scan(step, states, (imgs_s[0], w_s[0]))
+                    merged = {}
+                    for name, s in st.items():
+                        m_, s1_, s2_ = merge_collective(
+                            s.m, s.s1, s.s2, shard_axis
+                        )
+                        merged[name] = type(s)(m_, s1_, s2_)
+                    return merged
+
+                states = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(shard_axis), P(shard_axis)),
+                    out_specs=P(),
+                    check_vma=False,
+                )(images_p, w_img_p)
 
             # --- center via the cached bank (flash kernel / MXU scan) -----
             if center_banked:

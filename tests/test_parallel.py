@@ -9,6 +9,7 @@ import pytest
 
 from convolutional_diffusion_tpu.parallel.mesh import make_mesh
 from convolutional_diffusion_tpu.parallel.sharded_score import (
+    ShardedLocalEquivBordersScoreModule,
     ShardedLocalEquivScoreModule,
     shard_dataset,
 )
@@ -53,6 +54,20 @@ def test_sharded_els_label_and_max_samples(data):
     a = np.asarray(single(0.5, x, label=1))
     b = np.asarray(sharded(0.5, x, label=1))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_bbels_matches_single_device(data):
+    from convolutional_diffusion_tpu.scores import LocalEquivBordersScoreModule
+
+    images, labels, x = data
+    mesh = make_mesh(8)
+    kw = dict(kernel_size=3, batch_size=12, schedule=cosine_noise_schedule)
+    single = LocalEquivBordersScoreModule((images, labels), **kw)
+    sharded = ShardedLocalEquivBordersScoreModule((images, labels), mesh=mesh, **kw)
+    for t in (0.35, 0.8):
+        a = np.asarray(single(t, x))
+        b = np.asarray(sharded(t, x))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
 
 
 def test_merge_collective_equals_sequential():
