@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("--precision", type=str, default="highest",
                         choices=["highest", "default"],
                         help="'default' = bf16 MXU fast mode (~3e-3 rel err)")
+    parser.add_argument("--ndevices", type=int, default=1,
+                        help=">1 shards the training set over a device mesh "
+                             "(ELS/bbELS; partial softmax states merge over ICI)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -79,16 +82,36 @@ def main(argv=None):
     else:
         expname = args.expname
 
-    mod = build_score_module(
-        args.scoremoduletype,
-        (ds.images, ds.labels),
-        batch_size=args.scorebatchsize,
-        image_size=image_size,
-        channels=in_channels,
-        schedule=cosine_noise_schedule,
-        max_samples=args.max_samples,
-        precision=args.precision,
-    )
+    if args.ndevices > 1 and args.scoremoduletype in ("ELS", "bbELS"):
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_score import (
+            ShardedLocalEquivBordersScoreModule,
+            ShardedLocalEquivScoreModule,
+        )
+
+        mesh = make_mesh(args.ndevices)
+        cls = (
+            ShardedLocalEquivScoreModule
+            if args.scoremoduletype == "ELS"
+            else ShardedLocalEquivBordersScoreModule
+        )
+        mod = cls(
+            (ds.images, ds.labels), mesh=mesh, batch_size=args.scorebatchsize,
+            image_size=image_size, channels=in_channels,
+            schedule=cosine_noise_schedule, max_samples=args.max_samples,
+            precision=args.precision,
+        )
+    else:
+        mod = build_score_module(
+            args.scoremoduletype,
+            (ds.images, ds.labels),
+            batch_size=args.scorebatchsize,
+            image_size=image_size,
+            channels=in_channels,
+            schedule=cosine_noise_schedule,
+            max_samples=args.max_samples,
+            precision=args.precision,
+        )
 
     scalesfile = args.scalesfile or auto_detect_scales(
         args.checkpoints, metadata["name"]

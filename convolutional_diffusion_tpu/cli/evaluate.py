@@ -28,6 +28,11 @@ def main(argv=None):
 
     metadata = get_metadata(args.dsname)
     model, params = load_model(args.model_fname)
+    if model.conditional and not args.conditional:
+        raise SystemExit(
+            "model is conditional but --conditional not given (and the "
+            "experiment has no labels/ directory to read labels from)"
+        )
 
     def sample_fn(x, labels):
         return sample_scan(
