@@ -10,9 +10,8 @@ instead of the reference's Python step loop, `src/models.py:34-85`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

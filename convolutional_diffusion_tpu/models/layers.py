@@ -12,7 +12,7 @@ Parity notes vs the reference (`/root/reference/src/models.py`):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

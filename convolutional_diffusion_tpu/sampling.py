@@ -21,7 +21,6 @@ moment the reference would have returned.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

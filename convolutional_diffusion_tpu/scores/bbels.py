@@ -47,8 +47,6 @@ from .common import (
 )
 from .local import LocalScoreModule
 
-HI = jax.lax.Precision.HIGHEST
-
 
 class LocalEquivBordersScoreModule(ScoreModuleBase):
     def __init__(
@@ -151,7 +149,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        HI = self.prec  # shadows the module-level fp32 default
+        HI = self.prec  # dot precision for the region einsums
         precision = self.precision
         # dataset sharding (set by parallel.ShardedLocalEquivBordersScoreModule)
         mesh = getattr(self, "mesh", None)
