@@ -184,11 +184,14 @@ def flash_score_update(
     c = values.shape[1]
 
     # measured on v5e: 1024x1024 blocks run ~13% faster than 256x512 for
-    # large sweeps; small workloads clamp to avoid padding waste
+    # large sweeps at small d; large patch dims must shrink blocks to fit
+    # the q/k tiles + the [BQ, BP] logit/e tiles in ~16 MB of VMEM
+    dp_est = _round_up(d, 128)
+    big = 1024 if dp_est <= 256 else 256
     if block_q is None:
-        block_q = max(256, min(1024, _round_up(M, 256)))
+        block_q = max(256, min(big, _round_up(M, 256)))
     if block_p is None:
-        block_p = max(512, min(1024, _round_up(P, 512)))
+        block_p = max(512, min(big, _round_up(P, 512)))
 
     Mp = _round_up(M, block_q)
     Pp = _round_up(P, block_p)
