@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    qn_ref, pn_ref, w_ref, q_ref, k_ref, v_ref, scale_ref,
+    qn_ref, pn_ref, logw_ref, q_ref, k_ref, v_ref, scale_ref,
     m_in, s1_in, s2_in,
     m_ref, s1_ref, s2_ref,
     *, precision, c, v_strategy, fast_exp,
@@ -83,9 +83,13 @@ def _kernel(
             q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
             precision=precision,
         )  # [BQ, BP]
-    logits = -(qn_ref[:, :] - 2.0 * at * dots + (at * at) * pn_ref[:, :]) * inv2bt2
-    w = w_ref[:, :]  # [1, BP]
-    logits = jnp.where(w > 0.0, logits, NEG_INF)
+    # weights arrive in LOG space (log w, or NEG_INF for excluded/padded
+    # entries): one add replaces the mask-where + weight-multiply per pair,
+    # and exp(logit + log w) == w * exp(logit) exactly up to 1 ulp on w
+    logits = (
+        -(qn_ref[:, :] - 2.0 * at * dots + (at * at) * pn_ref[:, :]) * inv2bt2
+        + logw_ref[:, :]
+    )
 
     m_old = m_ref[:, :]  # [BQ, 1]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
@@ -93,15 +97,12 @@ def _kernel(
     m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
     fast = fast_exp
     if fast:
-        # fast mode: the exp/mask elementwise work dominates (VPU-bound);
-        # bf16 doubles VPU lanes. logits - m_safe <= 0 so exp in [0, 1] —
-        # bf16's ~3 decimal digits cost ~4e-3 relative on posterior means.
-        lz = (logits - m_safe).astype(jnp.bfloat16)
-        e = jnp.where(
-            w > 0.0, w.astype(jnp.bfloat16) * jnp.exp(lz), jnp.bfloat16(0.0)
-        )  # [BQ, BP] bf16; reductions below accumulate in fp32
+        # fast mode: the exp elementwise work dominates (VPU-bound); bf16
+        # doubles VPU lanes. logits - m_safe <= 0 so exp in [0, 1] — bf16's
+        # ~3 decimal digits cost ~4e-3 relative on posterior means.
+        e = jnp.exp((logits - m_safe).astype(jnp.bfloat16))
     else:
-        e = jnp.where(w > 0.0, w * jnp.exp(logits - m_safe), 0.0)  # [BQ, BP]
+        e = jnp.exp(logits - m_safe)  # [BQ, BP]; excluded entries underflow
     scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
 
     s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
@@ -207,6 +208,7 @@ def flash_score_update(
     qnp_ = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(qn)
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
     pnp_ = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(pn)
+    logw = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-38)), NEG_INF)
     if v_strategy == "vpu":
         c8 = _round_up(c, 8)  # sublane-aligned transposed values [c8, Pp]
         vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
@@ -216,7 +218,7 @@ def flash_score_update(
         vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
         v_block = (block_p, cp)
         v_index = lambda qi, pj: (pj, 0)
-    wp = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(w)
+    wp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(logw)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
     s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)

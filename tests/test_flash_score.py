@@ -48,8 +48,14 @@ def test_matches_reference(shapes):
         block_q=64, block_p=128, interpret=True,
     )
     m, s1, s2 = state_from_pallas(m, s1, s2)
-    np.testing.assert_allclose(np.asarray(m), np.asarray(ref.m), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(ref.s1), rtol=1e-4)
+    # the kernel folds log(w) into its running max, so compare the
+    # subtraction-invariant quantities: log total weight (m + log s1) and
+    # the posterior mean (s2/s1)
+    np.testing.assert_allclose(
+        np.asarray(m + jnp.log(s1)),
+        np.asarray(ref.m + jnp.log(ref.s1)),
+        rtol=1e-5, atol=1e-4,
+    )
     np.testing.assert_allclose(
         np.asarray(s2 / s1[:, None]),
         np.asarray(ref.s2 / ref.s1[:, None]),
