@@ -142,9 +142,12 @@ def model_config_meta(backbone, in_channels: int, imsize: int) -> str:
 def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
                        image_size: int, channels: int, schedule,
                        max_samples: Optional[int] = None, kernel_size: int = 3,
-                       precision: str = "highest"):
+                       precision: str = "highest", shuffle: bool = False):
     """Score-module factory matching els_script.py:69-96 / calibration
-    :91-117 (LS and IS get batch_size=len(dataset) there)."""
+    :91-117 (LS and IS get batch_size=len(dataset) there). `shuffle` reaches
+    only the ELS module, exactly like the reference els_script (its --shuffle
+    is passed solely to LocalEquivScoreModule, els_script.py:75; LS always
+    shuffles internally, bbELS/IS default off)."""
     from ..scores import (
         IdealScoreModule,
         LocalEquivBordersScoreModule,
@@ -157,7 +160,7 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
         return LocalEquivScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
-            max_samples=max_samples, precision=precision,
+            max_samples=max_samples, precision=precision, shuffle=shuffle,
         )
     if kind == "bbELS":
         return LocalEquivBordersScoreModule(

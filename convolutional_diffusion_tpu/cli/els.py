@@ -100,6 +100,7 @@ def main(argv=None):
             image_size=image_size, channels=in_channels,
             schedule=cosine_noise_schedule, max_samples=args.max_samples,
             precision=args.precision,
+            shuffle=(args.shuffle and args.scoremoduletype == "ELS"),
         )
     else:
         mod = build_score_module(
@@ -111,6 +112,7 @@ def main(argv=None):
             schedule=cosine_noise_schedule,
             max_samples=args.max_samples,
             precision=args.precision,
+            shuffle=args.shuffle,
         )
 
     scalesfile = args.scalesfile or auto_detect_scales(

@@ -41,13 +41,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    qn_ref, pn_ref, logw_ref, q_ref, k_ref, v_ref, scale_ref,
+    bias_ref, q_ref, k_ref, v_ref, scale_ref,
     m_in, s1_in, s2_in,
     m_ref, s1_ref, s2_ref,
     *, precision, c, v_strategy, fast_exp,
 ):
-    # Everything stays 2D in natural orientation (qn/m/s1: [BQ, 1] columns;
-    # pn/w: [1, BP] rows) — 1-wide column extractions would force Mosaic
+    # Everything stays 2D in natural orientation (m/s1: [BQ, 1] columns;
+    # bias: [1, BP] rows) — 1-wide column extractions would force Mosaic
     # sublane<->lane relayouts that blow the VMEM stack.
     from jax.experimental import pallas as pl
 
@@ -59,8 +59,7 @@ def _kernel(
         s1_ref[:, :] = s1_in[:, :]
         s2_ref[:, :] = s2_in[:, :]
 
-    at = scale_ref[0, 0]
-    inv2bt2 = scale_ref[0, 1]
+    dotscale = scale_ref[0, 0]  # 2 a_t / (2 beta_t^2) = a_t / beta_t^2
 
     if fast_exp and precision != jax.lax.Precision.HIGHEST:
         # manual bf16x3 (the 'HIGH' algorithm — Mosaic kernels only expose
@@ -83,13 +82,15 @@ def _kernel(
             q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
             precision=precision,
         )  # [BQ, BP]
-    # weights arrive in LOG space (log w, or NEG_INF for excluded/padded
-    # entries): one add replaces the mask-where + weight-multiply per pair,
-    # and exp(logit + log w) == w * exp(logit) exactly up to 1 ulp on w
-    logits = (
-        -(qn_ref[:, :] - 2.0 * at * dots + (at * at) * pn_ref[:, :]) * inv2bt2
-        + logw_ref[:, :]
-    )
+    # The per-pair logit assembly is ONE fma: everything per-patch — the
+    # -a_t^2 ||p||^2 / (2 beta^2) term AND the log-space weight (log w, or
+    # NEG_INF for excluded/padded entries; uniform weights are free) — is
+    # pre-folded into the bias row by the wrapper, and the per-QUERY
+    # -||q||^2 / (2 beta^2) term is dropped entirely: it is constant along
+    # the softmax axis, so the wrapper shifts the carried m by it on entry
+    # and back on exit (an exact change of the online-softmax offset; s2/s1
+    # and the external state convention are unchanged).
+    logits = dots * dotscale + bias_ref[:, :]
 
     m_old = m_ref[:, :]  # [BQ, 1]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
@@ -204,11 +205,21 @@ def flash_score_update(
     if v_strategy == "auto":
         v_strategy = "vpu" if c <= 8 else "mxu"
 
+    at = at.astype(jnp.float32)
+    inv2bt2 = (1.0 / (2.0 * bt * bt)).astype(jnp.float32)
     qp = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(q)
-    qnp_ = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(qn)
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
-    pnp_ = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(pn)
     logw = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-38)), NEG_INF)
+    # per-patch bias: -a_t^2 ||p||^2 / (2 beta^2) + log w (NEG_INF excluded);
+    # computed once per sweep (P work) so the kernel's per-pair logit is a
+    # single fma on top of the MXU dot
+    bias = jnp.maximum(-(at * at) * inv2bt2 * pn + logw, NEG_INF)
+    # the per-query -||q||^2/(2 beta^2) softmax offset is handled OUTSIDE the
+    # kernel: shift the carried m into the kernel's qn-less convention on the
+    # way in and back out (exact in real arithmetic; the residual fp32
+    # rounding only perturbs the m offset, never s2/s1)
+    qn_s = (qn * inv2bt2).astype(jnp.float32)
+    m0 = jnp.where(m0 <= NEG_INF * 0.5, m0, m0 + qn_s)
     if v_strategy == "vpu":
         c8 = _round_up(c, 8)  # sublane-aligned transposed values [c8, Pp]
         vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
@@ -218,12 +229,12 @@ def flash_score_update(
         vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
         v_block = (block_p, cp)
         v_index = lambda qi, pj: (pj, 0)
-    wp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(logw)
+    biasp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(bias)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
     s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
 
-    scale = jnp.stack([at.astype(jnp.float32), 1.0 / (2.0 * bt * bt)]).reshape(1, 2)
+    scale = jnp.stack([2.0 * at * inv2bt2, inv2bt2]).reshape(1, 2)
 
     grid = (Mp // block_q, Pp // block_p)
 
@@ -238,8 +249,6 @@ def flash_score_update(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
@@ -260,9 +269,11 @@ def flash_score_update(
             jax.ShapeDtypeStruct((Mp, cp), jnp.float32),
         ],
         interpret=interpret,
-    )(qnp_, pnp_, wp, qp, bankp, vp, scale, mp, s1p, s2p)
+    )(biasp, qp, bankp, vp, scale, mp, s1p, s2p)
 
-    return out_m[:M, 0], out_s1[:M, 0], out_s2[:M, :c]
+    m_out = out_m[:M, 0]
+    m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out - qn_s)
+    return m_out, out_s1[:M, 0], out_s2[:M, :c]
 
 
 def state_to_pallas(m, s1, s2):

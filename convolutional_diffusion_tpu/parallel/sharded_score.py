@@ -53,12 +53,12 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
         self.axis = axis
         super().__init__(dataset, **kw)
 
-    def __call__(self, t, x, label=None, device=None, k=None):
+    def __call__(self, t, x, label=None, device=None, k=None, order=None):
         # bypass the single-device bank-mode fast path; the sharded sweep
         # extracts per-shard banks inside shard_map
         from ..scores.base import ScoreModuleBase
 
-        return ScoreModuleBase.__call__(self, t, x, label=label, k=k)
+        return ScoreModuleBase.__call__(self, t, x, label=label, k=k, order=order)
 
     def _build(self, *, k: int, x_shape, has_label: bool):
         batch_size = self.batch_size
@@ -71,7 +71,7 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
 
-        def fn(images, labels, x, lab, at, bt):
+        def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
             per_img = (h - k + 1) * (w - k + 1)
             d = k * k * c
@@ -83,6 +83,7 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
                 cutoff=CutoffRule.UNFILTERED,
                 weighting=Weighting.MEAN,
                 per_image_bank=per_img,
+                order=order,
             )
             # pad to (devices * chunk) multiple, then [n_dev, n_chunks, cs, ...]
             pad = (-n) % (n_dev * cs)

@@ -49,11 +49,22 @@ class ScoreModuleBase:
         max_samples: Optional[int] = None,
         chunk_size: Optional[int] = None,
         precision: str = "highest",
+        shuffle: bool = False,
+        shuffle_key=None,
         **_unused,
     ):
         """precision: 'highest' (fp32 MXU passes — the <1e-3 torch-parity
         configuration) or 'default' (bf16 MXU inputs, ~3e-3 relative error on
-        posterior means, up to ~5x faster dots)."""
+        posterior means, up to ~5x faster dots).
+
+        shuffle: stream the dataset in a fresh random order on every call,
+        mirroring the reference DataLoader's shuffle=True (a new permutation
+        per epoch == per __call__; LocalScoreModule always shuffles in the
+        reference, idealscore.py:489, and els_script passes --shuffle to the
+        others). Keyed by `shuffle_key` (default PRNGKey(0)) folded with a
+        per-call counter — deterministic across reruns. Order only affects
+        results via batch composition (mean denominators, label/max_samples
+        cutoff subsets); see common.image_weights."""
         images, labels = dataset
         images = jnp.asarray(np.asarray(images), jnp.float32)
         if images.ndim != 4:
@@ -76,15 +87,32 @@ class ScoreModuleBase:
         # keyed to `batch_size`, so weights are computed per reference batch
         # regardless of the compute chunk.
         self.chunk_size = chunk_size or batch_size
+        self.shuffle = shuffle
+        self._shuffle_key = (
+            shuffle_key if shuffle_key is not None else jax.random.PRNGKey(0)
+        )
+        self._call_index = 0
         self._jit_cache = {}
+
+    def _stream_order(self, order=None):
+        """Resolve the per-call stream order: explicit `order` wins; else a
+        fresh permutation when self.shuffle; else the identity."""
+        n = self.images.shape[0]
+        if order is None and self.shuffle:
+            key = jax.random.fold_in(self._shuffle_key, self._call_index)
+            self._call_index += 1
+            order = jax.random.permutation(key, n)
+        if order is None:
+            order = jnp.arange(n, dtype=jnp.int32)
+        return jnp.asarray(order, jnp.int32)
 
     # -- subclass hooks ------------------------------------------------------
     def _build(self, *, k: int, x_shape, has_label: bool):
-        """Return a jitted fn(images, labels, x, label, at, bt) -> score."""
+        """Return a jitted fn(images, labels, order, x, label, at, bt) -> score."""
         raise NotImplementedError
 
     # -- public --------------------------------------------------------------
-    def __call__(self, t, x, label=None, device=None, k=None):
+    def __call__(self, t, x, label=None, device=None, k=None, order=None):
         del device  # reference-API compatibility; placement is XLA's concern
         if k is None:
             k = self.kernel_size
@@ -107,4 +135,6 @@ class ScoreModuleBase:
                 k=k, x_shape=x.shape, has_label=has_label
             )
         lab = jnp.asarray(label if has_label else -1, jnp.int32)
-        return self._jit_cache[key](self.images, self.labels, x, lab, at, bt)
+        return self._jit_cache[key](
+            self.images, self.labels, self._stream_order(order), x, lab, at, bt
+        )

@@ -107,7 +107,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         self._bank_cache[k] = build(self.images)
         return self._bank_cache[k]
 
-    def __call__(self, t, x, label=None, device=None, k=None):
+    def __call__(self, t, x, label=None, device=None, k=None, order=None):
         kk = int(k) if k is not None else self.kernel_size
         if kk % 2 == 0 or kk < 1:
             raise ValueError(
@@ -115,10 +115,10 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             )
         if kk >= self.image_size:
             # reference fallback: idealscore.py:162-164
-            return self._local_fallback(t, x, label=label, k=kk)
+            return self._local_fallback(t, x, label=label, k=kk, order=order)
         bank = self._center_bank(kk)
         if bank is None:
-            return super().__call__(t, x, label=label, k=kk)
+            return super().__call__(t, x, label=label, k=kk, order=order)
         from .base import _as_scalar_t
 
         x = jnp.asarray(x, jnp.float32)
@@ -133,7 +133,9 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 k=kk, x_shape=x.shape, has_label=has_label, center_banked=True
             )
         lab = jnp.asarray(label if has_label else -1, jnp.int32)
-        return self._jit_cache[key](self.images, self.labels, x, lab, at, bt, *bank)
+        return self._jit_cache[key](
+            self.images, self.labels, self._stream_order(order), x, lab, at, bt, *bank
+        )
 
     def _chunk_images(self, k: int) -> int:
         h = self.images.shape[1]
@@ -156,7 +158,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         shard_axis = getattr(self, "axis", "data")
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
-        def fn(images, labels, x, lab, at, bt, *bank_args):
+        def fn(images, labels, order, x, lab, at, bt, *bank_args):
             n, h, w, c = images.shape
             d = k * k * c
             b = x.shape[0]
@@ -168,6 +170,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 max_samples=max_samples,
                 cutoff=CutoffRule.BATCH_QUOTA,
                 weighting=Weighting.SUM,
+                order=order,
             )
             pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(

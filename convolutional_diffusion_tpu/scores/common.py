@@ -133,16 +133,34 @@ def image_weights(
     cutoff: CutoffRule,
     weighting: Weighting,
     per_image_bank: int = 1,  # bank entries contributed per image (e.g. (h-k+1)^2)
+    order: Optional[jnp.ndarray] = None,  # [N] stream order (DataLoader shuffle)
 ) -> jnp.ndarray:
     """Per-image weights [N] replicating reference DataLoader streaming.
 
-    Images are consumed sequentially in chunks of `batch_size` (reference
-    loaders use shuffle=False except LocalScoreModule — see its docstring).
+    Images are consumed in chunks of `batch_size`, sequentially or — when
+    `order` is given — in that permuted order (the reference DataLoader's
+    shuffle=True; LocalScoreModule always shuffles, idealscore.py:489, and
+    els_script passes --shuffle into the other modules). The returned weights
+    are in CANONICAL image indexing regardless of order: since every module's
+    accumulation is an associative weighted sum, streaming order only changes
+    batch composition (mean denominators, cutoff subsets), which this
+    function fully captures — the sweep itself may visit images in any order.
     Weight of image i = include(i) * (1/bank_size(batch of i)) for MEAN, or
     include(i) * 1 for SUM, where bank_size counts label-kept entries in the
     image's batch times `per_image_bank`.
     """
     n = labels.shape[0]
+    if order is not None:
+        w_stream = image_weights(
+            labels[order],
+            label,
+            batch_size=batch_size,
+            max_samples=max_samples,
+            cutoff=cutoff,
+            weighting=weighting,
+            per_image_bank=per_image_bank,
+        )
+        return jnp.zeros((n,), w_stream.dtype).at[order].set(w_stream)
     idx = jnp.arange(n)
     batch_id = idx // batch_size
     n_batches = -(-n // batch_size)

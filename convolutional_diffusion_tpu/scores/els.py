@@ -182,7 +182,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
         per_img = (h - k + 1) * (w - k + 1)
         ptot = n_img * per_img
 
-        def fn(bank, centers, pn, labels, x, lab, at, bt):
+        def fn(bank, centers, pn, labels, order, x, lab, at, bt):
             d = bank.shape[1]
             w_img = image_weights(
                 labels,
@@ -192,6 +192,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 cutoff=CutoffRule.UNFILTERED,
                 weighting=Weighting.MEAN,
                 per_image_bank=per_img,
+                order=order,
             )
             w_patch = jnp.repeat(w_img, per_img)
             w_patch = jnp.concatenate(
@@ -259,7 +260,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
         return jax.jit(fn)
 
-    def __call__(self, t, x, label=None, device=None, k=None):
+    def __call__(self, t, x, label=None, device=None, k=None, order=None):
         kk = int(k) if k is not None else self.kernel_size
         if kk % 2 == 0 or kk < 1:
             raise ValueError(
@@ -267,7 +268,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
             )
         bank = self._bank(kk)
         if bank is None:
-            return super().__call__(t, x, label=label, k=kk)
+            return super().__call__(t, x, label=label, k=kk, order=order)
         from .base import _as_scalar_t
 
         x = jnp.asarray(x, jnp.float32)
@@ -282,7 +283,9 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 k=kk, x_shape=x.shape, has_label=has_label
             )
         lab = jnp.asarray(label if has_label else -1, jnp.int32)
-        return self._jit_cache[key](*bank, self.labels, x, lab, at, bt)
+        return self._jit_cache[key](
+            *bank, self.labels, self._stream_order(order), x, lab, at, bt
+        )
 
     def _chunk_images(self, k: int) -> int:
         """Images per scan step so the patch block stays ~target_block."""
@@ -298,7 +301,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
 
-        def fn(images, labels, x, lab, at, bt):
+        def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
             hp, wp = h - k + 1, w - k + 1
             per_img = hp * wp
@@ -311,6 +314,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 cutoff=CutoffRule.UNFILTERED,
                 weighting=Weighting.MEAN,
                 per_image_bank=per_img,
+                order=order,
             )
             pad = (-n) % cs
             images_p = jnp.concatenate(

@@ -38,7 +38,7 @@ class IdealScoreModule(ScoreModuleBase):
         batch_size = self.batch_size
         max_samples = self.max_samples
 
-        def fn(images, labels, x, lab, at, bt):
+        def fn(images, labels, order, x, lab, at, bt):
             n = images.shape[0]
             d = images.shape[1] * images.shape[2] * images.shape[3]
             w = image_weights(
@@ -48,6 +48,7 @@ class IdealScoreModule(ScoreModuleBase):
                 max_samples=max_samples,
                 cutoff=CutoffRule.FILTERED,
                 weighting=Weighting.MEAN,
+                order=order,
             )
             pad = (-n) % cs
             imgs_flat = jnp.concatenate(

@@ -11,12 +11,14 @@ zero-padding contributes zeros exactly like torch's F.unfold(padding=k//2),
 idealscore.py:539), then streamed through the shared online softmax with
 per-pixel values.
 
-NOTE on ordering: the reference's DataLoader uses shuffle=True here
-(idealscore.py:489) — the only shuffled module — so with max_samples it
-processes a random subset. This implementation streams sequentially
-(deterministic); pass a pre-shuffled dataset to reproduce sampling, or use
-batch_size >= N for exact parity (default schedule is also exponential,
-matching the reference's odd default at idealscore.py:483).
+NOTE on ordering: the reference's DataLoader hardcodes shuffle=True here
+(idealscore.py:489) — the only always-shuffled module — so with max_samples
+it processes a random subset. This module therefore defaults shuffle=True
+(key-deterministic permutation per call; see ScoreModuleBase). Order only
+affects results through batch composition — pass shuffle=False or an
+explicit `order` for reproducible parity runs, or batch_size >= N where
+order is irrelevant (default schedule is exponential, matching the
+reference's odd default at idealscore.py:483).
 """
 
 from __future__ import annotations
@@ -36,15 +38,25 @@ from .common import (
 
 
 class LocalScoreModule(ScoreModuleBase):
-    def __init__(self, dataset, *, batch_size: int = 256, schedule=exponential_schedule, **kw):
-        super().__init__(dataset, batch_size=batch_size, schedule=schedule, **kw)
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int = 256,
+        schedule=exponential_schedule,
+        shuffle: bool = True,
+        **kw,
+    ):
+        super().__init__(
+            dataset, batch_size=batch_size, schedule=schedule, shuffle=shuffle, **kw
+        )
 
     def _build(self, *, k: int, x_shape, has_label: bool):
         batch_size = self.batch_size
         max_samples = self.max_samples
         cs = min(self.chunk_size, 64)
 
-        def fn(images, labels, x, lab, at, bt):
+        def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
             w_img = image_weights(
                 labels,
@@ -53,6 +65,7 @@ class LocalScoreModule(ScoreModuleBase):
                 max_samples=max_samples,
                 cutoff=CutoffRule.FILTERED,
                 weighting=Weighting.MEAN,
+                order=order,
             )
             pad = (-n) % cs
             images_p = jnp.concatenate(

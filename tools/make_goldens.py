@@ -298,5 +298,193 @@ def main():
     save("scores", **arrays)
 
 
+def dataloader_perm(seed: int, n: int, batch_size: int):
+    """The permutation a shuffle=True DataLoader yields under torch global
+    seed `seed` — replicated by iterating an index-valued DataLoader with the
+    identical RNG-consumption sequence (verified: order is content-independent
+    for equal N)."""
+    from torch.utils.data import DataLoader, TensorDataset
+
+    torch.manual_seed(seed)
+    dl = DataLoader(TensorDataset(torch.arange(n)), batch_size=batch_size, shuffle=True)
+    return [int(i) for (b,) in dl for i in b]
+
+
+def make_cutoff_goldens():
+    """max_samples / label / shuffle semantics per module (VERDICT round 1
+    item 4): the four modules' distinct cutoff rules, exercised at values
+    that discriminate them — mid-batch, exact-boundary, and partial-last-
+    batch cases — plus the label x max_samples interplay and the shuffled
+    LS/ELS streams (reference idealscore.py:184-187,432-444,524-535,602-615,
+    489)."""
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    from src.utils import idealscore
+    from src.utils.noise_schedules import cosine_noise_schedule
+    from torch.utils.data import TensorDataset
+
+    dev = torch.device("cpu")
+    rs = np.random.RandomState(3)
+    N, cc, hh, BS = 12, 3, 8, 5  # batches [5, 5, 2] — partial last batch
+    imgs = torch.tensor(rs.uniform(-1, 1, size=(N, cc, hh, hh)).astype(np.float32))
+    labs = torch.tensor(rs.randint(0, 3, size=(N,)).astype(np.int64))
+    ds = TensorDataset(imgs, labs)
+    torch.manual_seed(5)
+    xs = torch.randn(1, cc, hh, hh)
+    ts = torch.tensor([0.45])
+    arrays = {
+        "imgs": imgs.numpy(), "labs": labs.numpy().astype(np.int64),
+        "x": xs.numpy(), "t": ts.numpy(),
+    }
+
+    def run_is(tag, **kw):
+        label = kw.pop("label", None)
+        mod = idealscore.IdealScoreModule(
+            ds, batch_size=BS, schedule=cosine_noise_schedule, **kw
+        )
+        with torch.no_grad():
+            arrays[f"is/{tag}/out"] = mod(ts, xs.clone(), label=label, device=dev).numpy()
+
+    # FILTERED cutoff: cumulative label-kept count incl. this batch <= max
+    run_is("max11", max_samples=11)  # partial-batch edge: 5,10<=11, 12>11
+    run_is("label1max6", max_samples=6, label=1)  # filtered cumsum mid-batch
+
+    def run_els(tag, seed=None, **kw):
+        label = kw.pop("label", None)
+        mod = idealscore.LocalEquivScoreModule(
+            ds, kernel_size=3, batch_size=BS, schedule=cosine_noise_schedule, **kw
+        )
+        if seed is not None:
+            torch.manual_seed(seed)
+            arrays[f"els/{tag}/perm"] = np.array(dataloader_perm(seed, N, BS))
+            torch.manual_seed(seed)
+        with torch.no_grad():
+            arrays[f"els/{tag}/out"] = mod(ts, xs.clone(), label=label, device=dev).numpy()
+
+    # UNFILTERED cutoff: cumulative RAW batch sizes incl. this batch <= max
+    run_els("max8", max_samples=8)    # 5<=8, 10>8 -> batch 0 only
+    run_els("max10", max_samples=10)  # exact boundary: 10<=10 -> 2 batches
+    run_els("max11", max_samples=11)  # 12>11 -> 2 batches (QUOTA would take 3)
+    run_els("label1max6", max_samples=6, label=1)  # raw cutoff, filtered means
+    run_els("max8shuf", max_samples=8, shuffle=True, seed=77)  # random subset
+
+    def run_ls(tag, seed, **kw):
+        label = kw.pop("label", None)
+        mod = idealscore.LocalScoreModule(
+            ds, kernel_size=3, batch_size=BS, schedule=cosine_noise_schedule, **kw
+        )
+        # LS hardcodes shuffle=True (idealscore.py:489): record the exact
+        # permutation its DataLoader will draw under this global seed
+        torch.manual_seed(seed)
+        arrays[f"ls/{tag}/perm"] = np.array(dataloader_perm(seed, N, BS))
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            arrays[f"ls/{tag}/out"] = mod(ts, xs.clone(), label=label, device=dev).numpy()
+
+    run_ls("max8shuf", seed=31, max_samples=8)  # FILTERED over a random subset
+    run_ls("label0max4shuf", seed=13, max_samples=4, label=0)
+
+    def run_bbels(tag, **kw):
+        mod = idealscore.LocalEquivBordersScoreModule(
+            ds, kernel_size=3, batch_size=BS, image_size=hh,
+            schedule=cosine_noise_schedule, **kw
+        )
+        with torch.no_grad():
+            arrays[f"bbels/{tag}/out"] = mod(ts, xs.clone(), device=dev).numpy()
+
+    # BATCH_QUOTA cutoff: batch i processed iff i*batch_size <= max_samples
+    run_bbels("max4", max_samples=4)    # only batch 0 (5 > 4)
+    run_bbels("max5", max_samples=5)    # 1*5 <= 5 -> batches 0,1
+    run_bbels("max11", max_samples=11)  # 2*5=10 <= 11 -> ALL 3 (UNFILTERED: 2)
+
+    save("cutoffs", **arrays)
+
+
+def make_ddpm_moments():
+    """Statistical golden for the stochastic DDPM path (VERDICT item 8):
+    per-pixel mean/std over 512 seeds of the reference's ancestral sampler
+    (src/models.py:57-64), at breakstep 3 and at the final step. Our sampler
+    cannot match torch's RNG draw-for-draw; it must match these moments."""
+    sys.path.insert(0, REFERENCE)
+    from src.models import DDIM, MinimalResNet
+
+    dev = torch.device("cpu")
+    b, c, h = 512, 3, 16
+    torch.manual_seed(7)
+    net = MinimalResNet(
+        channels=c, emb_dim=16, kernel_size=3, num_layers=2, lastksize=3,
+        mode="zeros",
+    ).eval()
+    model = DDIM(pretrained_backbone=net, in_channels=c, default_imsize=h)
+    torch.manual_seed(21)
+    x0 = torch.randn(b, c, h, h)
+    with torch.no_grad():
+        out = model.sample(batch_size=b, x=x0.clone(), nsteps=5, ddpm=True, device=dev)
+        mid = model.sample(
+            batch_size=b, x=x0.clone(), nsteps=5, ddpm=True, breakstep=3, device=dev
+        )
+    save(
+        "ddpm_moments",
+        **sd_to_numpy(net.state_dict(), "sd/"),
+        x0=x0.numpy(),
+        final_mean=out.mean(dim=0).numpy(), final_std=out.std(dim=0).numpy(),
+        mid_mean=mid.mean(dim=0).numpy(), mid_std=mid.std(dim=0).numpy(),
+    )
+
+
+def make_batchnorm_goldens():
+    """BatchNorm UNet parity (VERDICT item 5): train-mode forwards update
+    running stats (reference src/models.py:306-309,232-237), then an
+    eval-mode forward uses them. Records the post-training state_dict
+    (incl. running_mean/var), the train-mode outputs, and the eval output."""
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    from src.models import MinimalUNet
+
+    b, c, h = 4, 3, 16
+    torch.manual_seed(7)
+    net = MinimalUNet(
+        channels=c, fsizes=[8, 16], emb_dim=16, kernel_size=3, lastksize=1,
+        mode="zeros", normalization="BatchNorm", last_norm=True,
+    )
+    torch.manual_seed(3)
+    xs = [torch.randn(b, c, h, h) for _ in range(3)]
+    t = torch.tensor([0.3, 0.8, 0.5, 0.1])
+    net.train()
+    train_outs = []
+    with torch.no_grad():
+        for xb in xs:
+            train_outs.append(net(t, xb).numpy())
+    net.eval()
+    torch.manual_seed(11)
+    xe = torch.randn(b, c, h, h)
+    with torch.no_grad():
+        out_eval = net(t, xe).numpy()
+    save(
+        "unet_batchnorm",
+        **sd_to_numpy(net.state_dict(), "sd/"),
+        t=t.numpy(),
+        **{f"x{i}": xb.numpy() for i, xb in enumerate(xs)},
+        **{f"train_out{i}": o for i, o in enumerate(train_outs)},
+        x_eval=xe.numpy(),
+        out_eval=out_eval,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", default=None,
+        choices=[None, "main", "cutoffs", "ddpm_moments", "batchnorm"],
+    )
+    a = ap.parse_args()
+    if a.only in (None, "main"):
+        main()
+    if a.only in (None, "cutoffs"):
+        make_cutoff_goldens()
+    if a.only in (None, "ddpm_moments"):
+        make_ddpm_moments()
+    if a.only in (None, "batchnorm"):
+        make_batchnorm_goldens()
