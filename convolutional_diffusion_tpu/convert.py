@@ -103,13 +103,24 @@ def resnet_params_from_torch(
     return params
 
 
-def _ublock_params_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+def _bn_stats_entry(sd, prefix) -> Dict[str, np.ndarray]:
+    """torch BatchNorm running stats -> TorchBatchNorm batch_stats leaves."""
+    return {
+        "mean": _np(sd[prefix + ".running_mean"]),
+        "var": _np(sd[prefix + ".running_var"]),
+    }
+
+
+def _ublock_params_from_torch(sd: Mapping[str, Any], prefix: str):
     """Map a torch UBlock (src/models.py:285-312) under `prefix`.
 
     The torch block is one nn.Sequential mixing convs / norms / ReLUs; convs
-    are 4-D weights, norms 1-D — classify by ndim in index order.
+    are 4-D weights, norms 1-D — classify by ndim in index order. Returns
+    (params, batch_stats); batch_stats is non-empty iff the norms are
+    BatchNorm (detected by their running_mean buffers, src/models.py:308-309).
     """
     params: Dict[str, Any] = {"emb_dense": _dense_entry(sd, f"{prefix}.emb.1")}
+    stats: Dict[str, Any] = {}
     idxs = sorted(
         {
             int(m.group(1))
@@ -125,40 +136,73 @@ def _ublock_params_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, A
             n_conv += 1
         else:
             params[f"norm_{n_norm}"] = _norm_entry(sd, f"{prefix}.model.{idx}")
+            if f"{prefix}.model.{idx}.running_mean" in sd:
+                stats[f"norm_{n_norm}"] = _bn_stats_entry(sd, f"{prefix}.model.{idx}")
             n_norm += 1
-    return params
+    return params, stats
 
 
-def unet_params_from_torch(
+def unet_variables_from_torch(
     sd: Mapping[str, Any], *, n_feature_blocks: int, conditional: bool = False,
     last_norm: bool = False,
 ) -> Dict[str, Any]:
-    """Map a reference MinimalUNet state_dict (src/models.py:212-237)."""
+    """Map a reference MinimalUNet state_dict (src/models.py:212-237) to a
+    Flax variables dict: {'params': ...} plus {'batch_stats': ...} when the
+    checkpoint is a BatchNorm config (running_mean/var converted — NOT
+    dropped)."""
     params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
     if conditional:
         params["embedding"] = {
             "class_embeddings": {
                 "embedding": _np(sd["embedding.class_embeddings.weight"])
             }
         }
+
+    def put_block(name, prefix):
+        p, s = _ublock_params_from_torch(sd, prefix)
+        params[name] = p
+        if s:
+            stats[name] = s
+
     for i in range(n_feature_blocks):
-        params[f"feature_block_{i}"] = _ublock_params_from_torch(
-            sd, f"feature_blocks.{i}"
-        )
-    params["bottleneck"] = _ublock_params_from_torch(sd, "bottleneck")
+        put_block(f"feature_block_{i}", f"feature_blocks.{i}")
+    put_block("bottleneck", "bottleneck")
     for j in range(n_feature_blocks):
         params[f"upsample_{j}"] = {
             "kernel": conv_transpose_kernel(sd[f"upsamples.{j}.weight"]),
             "bias": _np(sd[f"upsamples.{j}.bias"]),
         }
-        params[f"output_block_{j}"] = _ublock_params_from_torch(
-            sd, f"output_blocks.{j}"
-        )
+        put_block(f"output_block_{j}", f"output_blocks.{j}")
     params["last_emb_dense"] = _dense_entry(sd, "last_emb.1")
     params["output_conv"] = {"conv": _conv_entry(sd, "output_conv")}
     if last_norm and "last_normalizer.weight" in sd:
         params["last_normalizer"] = _norm_entry(sd, "last_normalizer")
-    return params
+        if "last_normalizer.running_mean" in sd:
+            stats["last_normalizer"] = _bn_stats_entry(sd, "last_normalizer")
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def unet_params_from_torch(
+    sd: Mapping[str, Any], *, n_feature_blocks: int, conditional: bool = False,
+    last_norm: bool = False,
+) -> Dict[str, Any]:
+    """Params-only mapping; REFUSES BatchNorm checkpoints loudly (their
+    running stats live outside 'params' — use unet_variables_from_torch)."""
+    variables = unet_variables_from_torch(
+        sd, n_feature_blocks=n_feature_blocks, conditional=conditional,
+        last_norm=last_norm,
+    )
+    if "batch_stats" in variables:
+        raise ValueError(
+            "BatchNorm checkpoint: running_mean/var must not be dropped — "
+            "use unet_variables_from_torch and apply the model with the "
+            "full variables dict"
+        )
+    return variables["params"]
 
 
 # ---------------------------------------------------------------------------
@@ -304,13 +348,15 @@ def diffusion_model_from_torch_pickle(path: str, dtype=None, precision="highest"
             int(f) for f in module_attr(backbone, "fsizes", (32, 64, 128, 256))
         )
         # UBlock normalization isn't stored as an attr on MinimalUNet; detect
-        # from the presence of 1-D weights inside feature block Sequentials.
+        # from the presence of 1-D weights inside feature block Sequentials,
+        # and BatchNorm specifically by its running_mean buffers (:308-309).
         has_norm = any(
             re.match(r"feature_blocks\.\d+\.model\.\d+\.weight$", k)
             and _np(v).ndim == 1
             for k, v in sd.items()
         )
-        normalization = "GroupNorm" if has_norm else None
+        has_bn = any(k.endswith(".running_mean") for k in sd)
+        normalization = ("BatchNorm" if has_bn else "GroupNorm") if has_norm else None
         last_norm = bool(module_attr(backbone, "last_norm", False)) and (
             "last_normalizer.weight" in sd
         )
@@ -338,10 +384,13 @@ def diffusion_model_from_torch_pickle(path: str, dtype=None, precision="highest"
             lastksize=int(module_attr(backbone, "lastksize", 1)),
             dtype=dtype, precision=precision,
         )
-        params = unet_params_from_torch(
+        variables = unet_variables_from_torch(
             sd, n_feature_blocks=len(fsizes) - 1, conditional=conditional,
             last_norm=last_norm,
         )
+        # BatchNorm checkpoints carry their running stats as a full variables
+        # dict (DiffusionModel.apply accepts either form)
+        params = variables if "batch_stats" in variables else variables["params"]
     else:
         raise ValueError(f"unsupported backbone class {bcls!r} in {path}")
 

@@ -25,8 +25,7 @@ class DiffusionModel:
     in_channels: int = 3
     default_imsize: int = 32
 
-    def init(self, key, batch_size: int = 1, conditional: Optional[bool] = None):
-        """Initialize backbone parameters with dummy inputs."""
+    def _dummy_inputs(self, batch_size: int, conditional: Optional[bool]):
         t = jnp.zeros((batch_size,), jnp.float32)
         x = jnp.zeros(
             (batch_size, self.default_imsize, self.default_imsize, self.in_channels),
@@ -35,12 +34,38 @@ class DiffusionModel:
         if conditional is None:
             conditional = bool(getattr(self.backbone, "conditional", False))
         label = jnp.zeros((batch_size,), jnp.int32) if conditional else None
-        variables = self.backbone.init(key, t, x, label)
-        return variables["params"]
+        return t, x, label
 
-    def apply(self, params, t, x, label=None):
-        """Epsilon prediction: backbone(t, x, label). NHWC."""
-        return self.backbone.apply({"params": params}, t, x, label)
+    def init(self, key, batch_size: int = 1, conditional: Optional[bool] = None):
+        """Initialize backbone parameters with dummy inputs (params only;
+        use init_variables for models with batch_stats, e.g. BatchNorm)."""
+        t, x, label = self._dummy_inputs(batch_size, conditional)
+        return self.backbone.init(key, t, x, label)["params"]
+
+    def init_variables(self, key, batch_size: int = 1, conditional=None):
+        """Full variables dict — {'params': ...} plus 'batch_stats' when the
+        backbone has BatchNorm running statistics."""
+        t, x, label = self._dummy_inputs(batch_size, conditional)
+        return self.backbone.init(key, t, x, label)
+
+    @staticmethod
+    def _as_variables(params):
+        """Accept either a bare params tree or a full variables dict
+        ({'params': ..., 'batch_stats': ...}) everywhere a model is applied —
+        BatchNorm checkpoints flow through samplers/CLIs unchanged."""
+        if isinstance(params, dict) and "params" in params:
+            return dict(params)
+        return {"params": params}
+
+    def apply(self, params, t, x, label=None, train: bool = False, **kw):
+        """Epsilon prediction: backbone(t, x, label). NHWC.
+
+        `params` may be a bare params tree or a variables dict. train=True
+        with mutable=['batch_stats'] (pass via **kw) returns
+        (pred, updated_variables) for BatchNorm training."""
+        return self.backbone.apply(
+            self._as_variables(params), t, x, label, train=train, **kw
+        )
 
     @property
     def conditional(self) -> bool:

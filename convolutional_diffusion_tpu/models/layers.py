@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -85,20 +86,66 @@ class DenseNormAct(nn.Module):
         return nn.relu(h)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``nn.BatchNorm2d`` semantics exactly.
+
+    flax ``nn.BatchNorm`` updates the running variance with the BIASED batch
+    variance; torch normalizes with the biased variance but updates
+    ``running_var`` with the UNBIASED one (x n/(n-1)) at momentum 0.1 —
+    running stats would drift apart over training. Stats live in the
+    ``batch_stats`` collection ({mean, var} per feature), updated only when
+    ``train=True`` (reference src/models.py:306-309,232-237)."""
+
+    momentum: float = 0.1  # torch default: new = (1-m)*old + m*batch
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if train and not self.is_initializing():
+            axes = tuple(range(x.ndim - 1))  # N(,H,W) per channel
+            mean = jnp.mean(x, axes)
+            var = jnp.mean((x - mean) ** 2, axes)  # biased: normalizes
+            n = x.size // feat
+            unbiased = var * (n / max(n - 1, 1))  # torch running update
+            m = self.momentum
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+            ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 def make_norm(normalization: Optional[str], features: int, dtype=None, name="norm"):
     """GroupNorm(min(32, f)) / BatchNorm factory used by UBlock / UNet.
 
-    Reference `src/models.py:306-309,234-237`. BatchNorm is implemented in
-    inference-style (running stats folded); training with BatchNorm is rare in
-    the reference (default normalization=None) — GroupNorm is the supported
-    normalized config.
+    Reference `src/models.py:306-309,234-237`. BatchNorm carries torch-exact
+    running statistics in the ``batch_stats`` collection (see TorchBatchNorm);
+    call it with ``train=True`` during training to update them.
     """
     if normalization == "GroupNorm":
         return nn.GroupNorm(
             num_groups=min(32, features), epsilon=GROUPNORM_EPS, dtype=dtype, name=name
         )
     if normalization == "BatchNorm":
-        return nn.BatchNorm(
-            use_running_average=True, epsilon=1e-5, dtype=dtype, name=name
-        )
+        return TorchBatchNorm(dtype=dtype, name=name)
     return None
+
+
+def apply_norm(norm, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    """Apply a make_norm result, threading `train` to BatchNorm only."""
+    if norm is None:
+        return h
+    if isinstance(norm, TorchBatchNorm):
+        return norm(h, train=train)
+    return norm(h)

@@ -42,8 +42,13 @@ class MinimalResNet(nn.Module):
     precision: Any = DEFAULT_PRECISION
 
     @nn.compact
-    def __call__(self, t, x, label=None):
-        """t: [b] in [0,1]; x: [b,h,w,c] NHWC; label: [b] int or None."""
+    def __call__(self, t, x, label=None, train: bool = False):
+        """t: [b] in [0,1]; x: [b,h,w,c] NHWC; label: [b] int or None.
+
+        `train` exists for interface uniformity with MinimalUNet; the
+        reference ResNet has no BatchNorm option (src/models.py:150-152
+        treats any truthy normalization as GroupNorm), so it is unused."""
+        del train
         e = TimeClassEmbedding(
             self.emb_dim,
             conditional=self.conditional,

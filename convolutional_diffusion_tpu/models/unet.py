@@ -23,7 +23,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .embedding import TimeClassEmbedding
-from .layers import DEFAULT_PRECISION, GROUPNORM_EPS, PaddedConv, make_norm
+from .layers import (
+    DEFAULT_PRECISION,
+    GROUPNORM_EPS,
+    PaddedConv,
+    apply_norm,
+    make_norm,
+)
 
 
 class UBlock(nn.Module):
@@ -38,7 +44,9 @@ class UBlock(nn.Module):
     precision: Any = DEFAULT_PRECISION
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, embedding: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, embedding: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
         infeatures = x.shape[-1]
         # torch: nn.Sequential(nn.ReLU(), nn.Linear(emb_dim, infeatures))
         e = nn.Dense(
@@ -57,8 +65,7 @@ class UBlock(nn.Module):
             norm = make_norm(
                 self.normalization, self.outfeatures, dtype=self.dtype, name=f"norm_{i}"
             )
-            if norm is not None:
-                h = norm(h)
+            h = apply_norm(norm, h, train=train)
             h = nn.relu(h)
         return h
 
@@ -78,8 +85,10 @@ class MinimalUNet(nn.Module):
     precision: Any = DEFAULT_PRECISION
 
     @nn.compact
-    def __call__(self, t, x, label=None):
-        """t: [b]; x: [b,h,w,c] NHWC (h, w divisible by 2^(len(fsizes)-1))."""
+    def __call__(self, t, x, label=None, train: bool = False):
+        """t: [b]; x: [b,h,w,c] NHWC (h, w divisible by 2^(len(fsizes)-1)).
+        train=True updates BatchNorm running stats (batch_stats collection);
+        a no-op for GroupNorm/None normalization."""
         fsizes = tuple(self.fsizes) if self.fsizes is not None else (32, 64, 128, 256)
 
         e = TimeClassEmbedding(
@@ -100,7 +109,7 @@ class MinimalUNet(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"feature_block_{i}",
-            )(x, e)
+            )(x, e, train=train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -112,7 +121,7 @@ class MinimalUNet(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
             name="bottleneck",
-        )(x, e)
+        )(x, e, train=train)
 
         for j, i in enumerate(range(len(fsizes) - 1, 0, -1)):
             upconv = nn.ConvTranspose(
@@ -136,7 +145,7 @@ class MinimalUNet(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"output_block_{j}",
-            )(x, e)
+            )(x, e, train=train)
 
         last_e = nn.Dense(
             fsizes[0], dtype=self.dtype, precision=self.precision, name="last_emb_dense"
@@ -146,7 +155,7 @@ class MinimalUNet(nn.Module):
             norm = make_norm(
                 self.normalization, fsizes[0], dtype=self.dtype, name="last_normalizer"
             )
-            x = norm(x)
+            x = apply_norm(norm, x, train=train)
         return PaddedConv(
             self.channels,
             self.lastksize,

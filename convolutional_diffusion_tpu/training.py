@@ -78,12 +78,18 @@ def make_train_step(
     *,
     max_t: int = 1000,
     conditional: bool = False,
+    batch_norm: bool = False,
 ):
     """Build the jitted train step: (params, opt_state, images, labels, key)
-    -> (params, opt_state, loss)."""
+    -> (params, opt_state, loss).
+
+    With batch_norm=True, `params` is a variables dict {'params',
+    'batch_stats'}: the forward runs train=True with mutable batch_stats
+    (torch BatchNorm training semantics, reference src/models.py:306-309)
+    and the updated running stats ride along in the returned tree."""
     schedule = model.noise_schedule
 
-    def loss_fn(params, images, labels, key):
+    def loss_fn(params, batch_stats, images, labels, key):
         b = images.shape[0]
         kt, ke = jax.random.split(key)
         t = (
@@ -92,14 +98,30 @@ def make_train_step(
         beta_t = schedule(t)
         eps = jax.random.normal(ke, images.shape, images.dtype)
         x_noised = q_sample(images, eps, beta_t)
-        pred = model.apply(params, t, x_noised, labels if conditional else None)
-        return jnp.mean((pred - eps) ** 2)
+        lbl = labels if conditional else None
+        if batch_norm:
+            pred, updated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                t, x_noised, lbl, train=True, mutable=["batch_stats"],
+            )
+            new_stats = updated["batch_stats"]
+        else:
+            pred = model.apply(params, t, x_noised, lbl)
+            new_stats = batch_stats
+        return jnp.mean((pred - eps) ** 2), new_stats
 
     def train_step(params, opt_state, images, labels, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        if batch_norm:
+            p, stats = params["params"], params["batch_stats"]
+        else:
+            p, stats = params, None
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, stats, images, labels, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        out = {"params": p, "batch_stats": new_stats} if batch_norm else p
+        return out, opt_state, loss
 
     return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -148,8 +170,11 @@ def train_diffusion(
     # train_step donates params/opt_state buffers; copy so the caller's
     # arrays survive the first step.
     params = jax.tree_util.tree_map(jnp.array, params)
+    # a variables dict with batch_stats means BatchNorm training (the
+    # optimizer only sees the 'params' leaf tree)
+    batch_norm = isinstance(params, dict) and "batch_stats" in params
     optimizer = make_optimizer(config)
-    opt_state = optimizer.init(params)
+    opt_state = optimizer.init(params["params"] if batch_norm else params)
     start_step = 0
     if resume_from is not None:
         # full resume incl. AdamW moments + LR schedule position (the
@@ -170,7 +195,8 @@ def train_diffusion(
         start_step = int(blob.get("meta", {}).get("step", 0))
         log_fn(f"resumed from {resume_from} at step {start_step}")
     train_step = make_train_step(
-        model, optimizer, max_t=config.max_t, conditional=conditional
+        model, optimizer, max_t=config.max_t, conditional=conditional,
+        batch_norm=batch_norm,
     )
 
     if mesh is not None:
