@@ -4,9 +4,10 @@
 
 Headline metric (BASELINE.json): CIFAR10 images/sec/chip for 1000-step DDPM
 sampling on the flagship model (8-layer emb-256 conditional MinimalResNet,
-the README recipe). Details include the 100-iter-equivalent ELS sampling
-throughput (20-step ScheduledScoreMachine over a CIFAR10-sized synthetic
-training set with the repo's calibrated CIFAR10 scales).
+the README recipe), measured over 3 fenced iterations with MFU reported.
+Details include the fp32-parity DDPM number and the REFERENCE-SCALE analytic
+machines: 20-step ELS and bbELS over a full 50k-image (CIFAR10-sized) bank
+with the repo's calibrated CIFAR10 scales — the els_script.py:44 workload.
 
 `vs_baseline` compares against the torch reference measured on this host by
 tools/bench_reference.py (stored in BASELINE_MEASURED.json); null when that
@@ -23,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the first run pays ~8 min of remote compiles,
+# persistent compile cache: the first run pays the remote compiles,
 # subsequent runs hit the cache
 try:
     _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -32,11 +33,24 @@ try:
 except Exception:
     pass
 
+V5E_PEAK_TFLOPS = 197.0  # bf16 MXU nominal
+# analytic FLOPs of one flagship forward per image per step: 8 residual convs
+# 256->256 3x3 on 32x32 + up/down projections + embedding MLPs
+FLAGSHIP_FLOPS_PER_IMG_STEP = (
+    8 * 2 * 256 * 256 * 9 * 32 * 32
+    + 2 * 3 * 256 * 9 * 32 * 32
+    + 2 * 256 * 3 * 9 * 32 * 32
+    + 9 * 2 * 256 * 256
+)
+CIFAR10_SCALES = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17, 17]
+
 
 def time_fn(fn, *args, warmup=1, iters=1):
     # NOTE: force a device->host transfer to fence each iteration — on this
     # image's remote-TPU (axon) platform, block_until_ready returns before
-    # execution finishes, which inflates throughput ~1000x.
+    # execution finishes, which inflates throughput ~1000x. (Cross-checked:
+    # two data-dependent chained 1000-step sampler calls take exactly 2x one
+    # call — see PERFORMANCE.md "Measurement methodology".)
     import numpy as _np
 
     for _ in range(warmup):
@@ -47,7 +61,7 @@ def time_fn(fn, *args, warmup=1, iters=1):
     return (time.perf_counter() - t0) / iters, out
 
 
-def bench_ddpm(batch=64, nsteps=1000, precision=None):
+def bench_ddpm(batch=64, nsteps=1000, precision=None, iters=3):
     """precision=None -> TPU-native bf16 MXU matmuls with fp32 accumulation;
     precision='highest' -> full fp32 (the parity configuration)."""
     from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
@@ -64,51 +78,75 @@ def bench_ddpm(batch=64, nsteps=1000, precision=None):
     labels = jnp.zeros((batch,), jnp.int32)
 
     def run(params, x0, labels):
-        return sampler(params, x0, labels, key=jax.random.PRNGKey(2))
+        # scalar reduce so the fence doesn't pay the ~30 MB/s tunnel
+        return sampler(params, x0, labels, key=jax.random.PRNGKey(2)).sum()
 
-    dt, _ = time_fn(run, params, x0, labels)
-    return batch / dt
+    dt, _ = time_fn(run, params, x0, labels, warmup=1, iters=iters)
+    ips = batch / dt
+    tflops = FLAGSHIP_FLOPS_PER_IMG_STEP * batch * nsteps / dt / 1e12
+    return ips, tflops
 
 
-def bench_els(batch=16, n_train=2048, max_samples=None):
-    """20-step ELS machine over an n_train-image bank with the repo's real
-    CIFAR10 scales (8 distinct kernel sizes). Uses the circular-ELS module:
-    the bbELS program's 9-region body costs ~100 s of remote compile per
-    kernel size in this environment, which busts the bench window; its
-    steady-state throughput is within ~25% of ELS (PERFORMANCE.md)."""
+def _els_machine(kind, n_train, batch_size, precision):
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.scores import (
+        LocalEquivBordersScoreModule,
         LocalEquivScoreModule,
         ScheduledScoreMachine,
     )
 
-    scales = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17, 17]
     ds = synthetic_dataset(num_samples=n_train, image_size=32, num_channels=3)
-    mod = LocalEquivScoreModule(
-        (ds.images, ds.labels), batch_size=256, max_samples=max_samples,
-        target_block=16384,
+    cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
+    mod = cls(
+        (ds.images, ds.labels), batch_size=batch_size, target_block=16384,
+        precision=precision,
     )
-    machine = ScheduledScoreMachine(mod, in_channels=3, imsize=32, scales=scales)
+    return ScheduledScoreMachine(
+        mod, in_channels=3, imsize=32, scales=CIFAR10_SCALES
+    )
+
+
+def bench_els(kind="ELS", batch=8, n_train=50000, precision="highest"):
+    """20-step machine over the FULL 50k-image bank with the repo's real
+    CIFAR10 scales (8 distinct kernel sizes) — the reference els_script
+    workload (numiters over the whole training set). One timed machine call
+    on `batch` seeds (~minutes at this scale; iters=1, the per-call noise is
+    negligible over a run this long)."""
+    machine = _els_machine(kind, n_train, 256, precision)
     x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
 
     def run(x):
-        return machine(x)
+        return machine(x).sum()
 
-    dt, _ = time_fn(run, x, warmup=1, iters=1)
+    dt, _ = time_fn(run, x, warmup=0, iters=1)
     return batch / dt
 
 
 def main():
-    # Headline: bf16-MXU (TPU-native). The fp32 parity config is ~5.4x
-    # slower (see PERFORMANCE.md); it is not re-measured here because each
-    # extra jit variant costs ~3 min of remote compile in this environment.
-    ddpm_ips = bench_ddpm(precision=None)
-    details = {"ddpm_1000step_images_per_sec_bf16mxu": round(ddpm_ips, 3)}
+    details = {}
+    # Headline: bf16-MXU (TPU-native), 3 fenced iterations.
+    ddpm_ips, tflops = bench_ddpm(precision=None)
+    details["ddpm_1000step_images_per_sec_bf16mxu"] = round(ddpm_ips, 3)
+    details["ddpm_sustained_tflops"] = round(tflops, 1)
+    details["ddpm_mfu_vs_197tflops_peak"] = round(tflops / V5E_PEAK_TFLOPS, 3)
+    # fp32 'highest' — the <1e-3 torch-parity configuration
     try:
-        els_ips = bench_els()
-        details["els_20step_2048bank_images_per_sec"] = round(els_ips, 4)
+        fp32_ips, fp32_tflops = bench_ddpm(precision="highest", iters=1)
+        details["ddpm_1000step_images_per_sec_fp32_parity"] = round(fp32_ips, 3)
+        details["ddpm_fp32_sustained_tflops"] = round(fp32_tflops, 1)
     except Exception as e:  # pragma: no cover
-        details["els_error"] = repr(e)
+        details["ddpm_fp32_error"] = repr(e)
+
+    # Reference-scale analytic machines (50k bank, 20-step CIFAR10 scales)
+    for kind, precision, tag in (
+        ("ELS", "highest", "els_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "default", "els_20step_50kbank_images_per_sec_fast"),
+        ("bbELS", "highest", "bbels_20step_50kbank_images_per_sec_fp32"),
+    ):
+        try:
+            details[tag] = round(bench_els(kind, precision=precision), 4)
+        except Exception as e:  # pragma: no cover
+            details[tag + "_error"] = repr(e)
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")

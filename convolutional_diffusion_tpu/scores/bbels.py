@@ -56,7 +56,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         batch_size: int = 64,
         target_block: int = 8192,
         use_pallas: bool | None = None,
-        bank_budget_bytes: int = 4 << 30,
+        bank_budget_bytes: int = 12 << 30,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -86,8 +86,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         d = k * k * c
         nbytes = n * per * (d + c + 1) * 4
         if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
-            self._bank_cache[k] = None
-            return None
+            return None  # not cached as a miss — budget may free up later
         self._bank_bytes_used += nbytes
         B = self.target_block
         ptot = n * per

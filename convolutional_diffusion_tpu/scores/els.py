@@ -121,7 +121,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
         batch_size: int = 64,
         target_block: int = 8192,
         use_pallas: bool | None = None,
-        bank_budget_bytes: int = 4 << 30,
+        bank_budget_bytes: int = 12 << 30,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -133,14 +133,22 @@ class LocalEquivScoreModule(ScoreModuleBase):
         # (the sweep becomes pure MXU matmuls over bank blocks). The budget
         # is CUMULATIVE across kernel sizes — a 20-step scales schedule
         # touches up to 8 distinct k's and their banks would otherwise sum
-        # past HBM.
+        # past HBM. Default 12 GiB: ELS is usually the sole tenant of a
+        # 16 GB v5e. Banks are stored fp32: bf16 storage would round patch
+        # values at 2^-9, which the 1/(2 beta^2) logit scaling amplifies to
+        # ~19% posterior error at low noise — the same failure mode that
+        # forces fp32 QK dots (PERFORMANCE.md). At 50k-image scale the
+        # uncached path's on-the-fly extraction is amortized to noise by the
+        # per-sweep softmax work anyway.
         self.bank_budget_bytes = bank_budget_bytes
         self._bank_cache = {}
         self._bank_bytes_used = 0
 
     def _bank(self, k: int):
         """(bank [P,d], centers [P,c], pn [P]) device arrays, or None if the
-        bank exceeds the remaining HBM budget (fall back to on-the-fly)."""
+        bank exceeds the remaining HBM budget (fall back to on-the-fly; NOT
+        cached as a miss — a later call may find budget, e.g. after the
+        caller raises bank_budget_bytes)."""
         if k in self._bank_cache:
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
@@ -148,7 +156,6 @@ class LocalEquivScoreModule(ScoreModuleBase):
         d = k * k * c
         nbytes = n * per_img * (d + c + 1) * 4
         if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
-            self._bank_cache[k] = None
             return None
         self._bank_bytes_used += nbytes
 

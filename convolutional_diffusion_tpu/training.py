@@ -137,6 +137,7 @@ def train_diffusion(
     checkpoint_dir: Optional[str] = None,
     checkpoint_extra: Optional[dict] = None,
     use_native_loader: bool = False,
+    native_loader=None,
     resume_from: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
 ):
@@ -146,26 +147,33 @@ def train_diffusion(
     replicated; without one, runs single-device. With
     use_native_loader=True, shuffled/normalized batches come from the C++
     prefetch runtime (utils.native_loader) instead of numpy gathers
-    (falls back silently if the library can't build).
+    (falls back silently if the library can't build). A prebuilt
+    `native_loader` (e.g. NativeLoader.from_idx / from_cifar_bins — the
+    out-of-core file-backed path) overrides both; `dataset` may then be None.
     """
-    images, labels = dataset
-    images = np.asarray(images, np.float32)
-    labels = np.asarray(labels, np.int32)
-    n = images.shape[0]
+    if native_loader is not None:
+        native = native_loader
+        images = labels = None
+        n = native.num_samples
+    else:
+        images, labels = dataset
+        images = np.asarray(images, np.float32)
+        labels = np.asarray(labels, np.int32)
+        n = images.shape[0]
 
-    native = None
-    if use_native_loader:
-        from .utils import native_loader
+        native = None
+        if use_native_loader:
+            from .utils import native_loader as nl
 
-        if native_loader.is_available():
-            # the C++ loader holds raw uint8; invert the [-1,1] normalization
-            u8 = np.clip((images * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
-            native = native_loader.NativeLoader.from_arrays(
-                u8, labels, batch_size=config.batch_size, seed=config.seed,
-                drop_last=config.drop_last,
-            )
-        else:
-            log_fn("native loader unavailable; using numpy batches")
+            if nl.is_available():
+                # the C++ loader holds raw uint8; invert the normalization
+                u8 = np.clip((images * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+                native = nl.NativeLoader.from_arrays(
+                    u8, labels, batch_size=config.batch_size, seed=config.seed,
+                    drop_last=config.drop_last,
+                )
+            else:
+                log_fn("native loader unavailable; using numpy batches")
 
     # train_step donates params/opt_state buffers; copy so the caller's
     # arrays survive the first step.

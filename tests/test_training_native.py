@@ -24,3 +24,42 @@ def test_train_with_native_loader(tiny_dataset):
     )
     assert np.isfinite(history).all()
     assert history[-1] < history[0]
+
+
+def test_file_backed_idx_training(tmp_path):
+    """Out-of-core path: train through NativeLoader.from_idx on raw IDX files
+    (native/loader.cpp:190-208) — dataset stays on disk, C++ parses/shuffles/
+    normalizes and prefetches (VERDICT round-1 item 10)."""
+    import struct
+
+    from convolutional_diffusion_tpu.utils import native_loader
+
+    if not native_loader.is_available():
+        pytest.skip("native loader unavailable")
+
+    rs = np.random.RandomState(7)
+    n, h, w = 24, 8, 8
+    imgs = rs.randint(0, 256, size=(n, h, w), dtype=np.uint8)
+    labs = rs.randint(0, 4, size=(n,)).astype(np.uint8)
+    ip = tmp_path / "train-images-idx3-ubyte"
+    lp = tmp_path / "train-labels-idx1-ubyte"
+    ip.write_bytes(struct.pack(">IIII", 0x803, n, h, w) + imgs.tobytes())
+    lp.write_bytes(struct.pack(">II", 0x801, n) + labs.tobytes())
+
+    loader = native_loader.NativeLoader.from_idx(
+        str(ip), str(lp), batch_size=8, seed=3
+    )
+    assert loader.num_samples == n and loader.shape == (h, w, 1)
+
+    from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
+    from convolutional_diffusion_tpu.training import TrainConfig, train_diffusion
+
+    net = MinimalResNet(channels=1, emb_dim=8, num_layers=1, mode="zeros")
+    model = DiffusionModel(net, in_channels=1, default_imsize=h)
+    params = model.init(jax.random.PRNGKey(0))
+    _, _, history = train_diffusion(
+        model, params, None,
+        TrainConfig(epochs=2, batch_size=8, max_t=10, log_every=1),
+        native_loader=loader, log_fn=lambda s: None,
+    )
+    assert len(history) == 2 and np.isfinite(history[-1])
