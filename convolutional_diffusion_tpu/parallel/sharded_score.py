@@ -85,13 +85,14 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
                 per_image_bank=per_img,
                 order=order,
             )
-            # pad to (devices * chunk) multiple, then [n_dev, n_chunks, cs, ...]
+            # pad to (devices * chunk) multiple, then [n_dev, n_chunks, cs, hwc]
+            # (flattened per chunk — see els_sweep's layout note)
             pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
-                [images, jnp.zeros((pad, h, w, c), images.dtype)]
+                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
             )
             w_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
-            images_p = images_p.reshape(n_dev, -1, cs, h, w, c)
+            images_p = images_p.reshape(n_dev, -1, cs, h * w * c)
             w_p = w_p.reshape(n_dev, -1, cs)
 
             b = x.shape[0]
@@ -106,7 +107,8 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
                 w_s = w_s[0]
                 m, s1, s2 = els_sweep(
                     images_s, w_s, xq_flat, qn_flat, at, bt,
-                    k=k, cs=cs, per_img=per_img, c=c, use_pallas=use_pallas,
+                    k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
+                    use_pallas=use_pallas,
                 )
                 m, s1, s2 = merge_collective(m, s1, s2, axis)
                 return s1, s2

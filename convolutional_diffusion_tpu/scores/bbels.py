@@ -171,10 +171,14 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 weighting=Weighting.SUM,
                 order=order,
             )
+            # chunks stream FLATTENED ([cs, h*w*c]): a c=3-minor scan operand
+            # would be layout-padded to 128 lanes (42x HBM bloat; see els_sweep)
             pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
-                [images, jnp.zeros((pad, h, w, c), images.dtype)]
-            ).reshape((n_dev, -1, cs, h, w, c) if mesh is not None else (-1, cs, h, w, c))
+                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(
+                (n_dev, -1, cs, h * w * c) if mesh is not None else (-1, cs, h * w * c)
+            )
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
                 (n_dev, -1, cs) if mesh is not None else (-1, cs)
             )
@@ -223,7 +227,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             }
 
             def step(states, chunk):
-                imgs_c, w_c = chunk  # [cs, h, w, c], [cs]
+                imgs_c, w_c = chunk  # [cs, h*w*c], [cs]
+                imgs_c = imgs_c.reshape(cs, h, w, c)
                 iwin = extract_patches(pad_image(imgs_c, p, "zeros"), k)
                 out = dict(states)
 

@@ -37,7 +37,11 @@ from .common import (
 
 
 def els_sweep(
-    images_p,  # [n_chunks, cs, h, w, c]
+    images_p,  # [n_chunks, cs, h*w*c] — images FLATTENED per chunk: a scan
+    # operand with a c=3 minor dim would be layout-canonicalized to T(8,128)
+    # tiles, padding 3 -> 128 lanes (42x HBM bloat — a 50k CIFAR set becomes
+    # a 26 GB buffer). The flat 3072-lane form tiles exactly; each step
+    # reshapes its own small chunk back to NHWC in-register.
     w_img_p,  # [n_chunks, cs]
     xq_flat,  # [M, d] query windows
     qn_flat,  # [M]
@@ -46,6 +50,7 @@ def els_sweep(
     *,
     k: int,
     cs: int,
+    hwc: tuple,  # (h, w, c) of one image
     per_img: int,
     c: int,
     use_pallas: bool,
@@ -65,6 +70,7 @@ def els_sweep(
 
         def step(state, chunk):
             imgs_c, w_c = chunk
+            imgs_c = imgs_c.reshape(cs, *hwc)
             patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
             centers = patch_centers(patches, k, c)
             pn = jnp.sum(patches**2, axis=-1)
@@ -91,6 +97,7 @@ def els_sweep(
 
     def step(state, chunk):
         imgs_c, w_c = chunk
+        imgs_c = imgs_c.reshape(cs, *hwc)
         patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
         centers = patch_centers(patches, k, c)
         pn = jnp.sum(patches**2, axis=-1)
@@ -325,8 +332,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
             )
             pad = (-n) % cs
             images_p = jnp.concatenate(
-                [images, jnp.zeros((pad, h, w, c), images.dtype)]
-            ).reshape(-1, cs, h, w, c)
+                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(-1, cs, h * w * c)
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
                 -1, cs
             )
@@ -339,7 +346,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
             _, s1_, s2_ = els_sweep(
                 images_p, w_img_p, xq_flat, qn_flat, at, bt,
-                k=k, cs=cs, per_img=per_img, c=c, use_pallas=use_pallas,
+                k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
+                use_pallas=use_pallas,
                 precision=self.precision,
             )
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)

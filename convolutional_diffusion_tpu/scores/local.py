@@ -67,10 +67,12 @@ class LocalScoreModule(ScoreModuleBase):
                 weighting=Weighting.MEAN,
                 order=order,
             )
+            # chunks stream FLATTENED ([cs, h*w*c]): a c=3-minor scan operand
+            # would be layout-padded to 128 lanes (42x HBM bloat; see els_sweep)
             pad = (-n) % cs
             images_p = jnp.concatenate(
-                [images, jnp.zeros((pad, h, w, c), images.dtype)]
-            ).reshape(-1, cs, h, w, c)
+                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(-1, cs, h * w * c)
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
                 -1, cs
             )
@@ -79,7 +81,8 @@ class LocalScoreModule(ScoreModuleBase):
             beta2 = 2.0 * bt**2
 
             def step(state, chunk):
-                imgs_c, w_c = chunk  # [cs, h, w, c], [cs]
+                imgs_c, w_c = chunk  # [cs, h*w*c], [cs]
+                imgs_c = imgs_c.reshape(cs, h, w, c)
                 diffs = x[:, None] - at * imgs_c[None]  # [b, cs, h, w, c]
                 d2 = jnp.sum(diffs**2, axis=-1)  # [b, cs, h, w]
                 boxed = jax.lax.reduce_window(
