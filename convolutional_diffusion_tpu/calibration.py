@@ -89,15 +89,19 @@ def calibrate(
         for k in kernel_sizes:
             mod = score_modules[k]
             if conditional:
-                # group seeds by label so each sweep is still batched
-                ke = jnp.zeros_like(x)
-                labs_np = np.asarray(labels)
-                for lab in np.unique(labs_np):
-                    sel = np.nonzero(labs_np == lab)[0]
-                    est = mod(
-                        float(i / nsteps), x[sel], label=int(lab), k=k
-                    )
-                    ke = ke.at[sel].set(est)
+                if getattr(mod, "supports_vector_label", False):
+                    # all seeds, all labels, one sweep
+                    ke = mod(float(i / nsteps), x, label=labels, k=k)
+                else:
+                    # group seeds by label so each sweep is still batched
+                    ke = jnp.zeros_like(x)
+                    labs_np = np.asarray(labels)
+                    for lab in np.unique(labs_np):
+                        sel = np.nonzero(labs_np == lab)[0]
+                        est = mod(
+                            float(i / nsteps), x[sel], label=int(lab), k=k
+                        )
+                        ke = ke.at[sel].set(est)
             else:
                 ke = mod(float(i / nsteps), x, k=k)
             flat_c = cnn_score.reshape(nsamps, -1)

@@ -138,7 +138,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_q", "block_p", "interpret", "precision", "v_strategy", "fast_exp"
+        "block_q", "block_p", "interpret", "precision", "v_strategy",
+        "fast_exp", "rows_per_seed",
     ),
 )
 def flash_score_update(
@@ -147,7 +148,7 @@ def flash_score_update(
     bank: jnp.ndarray,  # [P, d]
     pn: jnp.ndarray,  # [P]
     values: jnp.ndarray,  # [P, c]
-    w: jnp.ndarray,  # [P]
+    w: jnp.ndarray,  # [P], or [S, P] per-seed weights (see rows_per_seed)
     at: jnp.ndarray,  # scalar sqrt(1-beta)
     bt: jnp.ndarray,  # scalar sqrt(beta)
     state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # m [M], s1 [M], s2 [M, c]
@@ -158,6 +159,7 @@ def flash_score_update(
     precision: str = "highest",
     v_strategy: str = "auto",
     fast_exp: bool | None = None,
+    rows_per_seed: int | None = None,
 ):
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
@@ -192,6 +194,20 @@ def flash_score_update(
     big = 1024 if dp_est <= 256 else 256
     if block_q is None:
         block_q = max(256, min(big, _round_up(M, 256)))
+    if w.ndim == 2:
+        # per-seed weights [S, P]: every query block must see ONE seed's bias
+        # row, so block_q must divide rows_per_seed (= h*w per seed; the
+        # bias BlockSpec below maps block qi -> seed row qi*block_q//rps)
+        if rows_per_seed is None or M != w.shape[0] * rows_per_seed:
+            raise ValueError(
+                "2-D weights need rows_per_seed with M == S * rows_per_seed"
+            )
+        block_q = min(block_q, rows_per_seed)
+        if rows_per_seed % block_q or block_q % 8:
+            raise ValueError(
+                f"rows_per_seed={rows_per_seed} not tileable (block_q="
+                f"{block_q}); use the jnp path for this shape"
+            )
     if block_p is None:
         block_p = max(512, min(big, _round_up(P, 512)))
 
@@ -211,8 +227,8 @@ def flash_score_update(
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
     logw = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-38)), NEG_INF)
     # per-patch bias: -a_t^2 ||p||^2 / (2 beta^2) + log w (NEG_INF excluded);
-    # computed once per sweep (P work) so the kernel's per-pair logit is a
-    # single fma on top of the MXU dot
+    # computed once per sweep (P or S*P work) so the kernel's per-pair logit
+    # is a single fma on top of the MXU dot
     bias = jnp.maximum(-(at * at) * inv2bt2 * pn + logw, NEG_INF)
     # the per-query -||q||^2/(2 beta^2) softmax offset is handled OUTSIDE the
     # kernel: shift the carried m into the kernel's qn-less convention on the
@@ -229,7 +245,14 @@ def flash_score_update(
         vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
         v_block = (block_p, cp)
         v_index = lambda qi, pj: (pj, 0)
-    biasp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(bias)
+    if w.ndim == 2:
+        S = w.shape[0]
+        biasp = jnp.full((S, Pp), NEG_INF, jnp.float32).at[:, :P].set(bias)
+        rps = rows_per_seed
+        bias_index = lambda qi, pj, bq=block_q, r=rps: (qi * bq // r, pj)
+    else:
+        biasp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(bias)
+        bias_index = lambda qi, pj: (0, pj)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
     s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
@@ -249,7 +272,7 @@ def flash_score_update(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_p), lambda qi, pj: (0, pj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p), bias_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM),

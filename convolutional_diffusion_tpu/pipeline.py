@@ -185,15 +185,24 @@ def generate_els_samples(
         n = min(batch, numiters - idx)
         drawn = [draw(j) for j in range(idx, idx + n)]
         if conditional:
-            # group seeds by label so conditional generation still batches
-            by_label = {}
-            for off, (seed, lab) in enumerate(drawn):
-                by_label.setdefault(lab, []).append(off)
-            for lab, offs in by_label.items():
-                x = jnp.concatenate([drawn[o][0] for o in offs], axis=0)
-                out = np.asarray(machine(x, label=lab))
-                for row, o in enumerate(offs):
-                    emit(idx + o, drawn[o][0], out[row : row + 1], lab)
+            if getattr(machine.backbone, "supports_vector_label", False):
+                # per-seed labels in ONE sweep (batched conditional ELS —
+                # per-seed weights ride the flash kernel's bias rows)
+                x = jnp.concatenate([s for s, _ in drawn], axis=0)
+                labs = jnp.asarray([lab for _, lab in drawn], jnp.int32)
+                out = np.asarray(machine(x, label=labs))
+                for o in range(n):
+                    emit(idx + o, drawn[o][0], out[o : o + 1], int(labs[o]))
+            else:
+                # group seeds by label so conditional generation still batches
+                by_label = {}
+                for off, (seed, lab) in enumerate(drawn):
+                    by_label.setdefault(lab, []).append(off)
+                for lab, offs in by_label.items():
+                    x = jnp.concatenate([drawn[o][0] for o in offs], axis=0)
+                    out = np.asarray(machine(x, label=lab))
+                    for row, o in enumerate(offs):
+                        emit(idx + o, drawn[o][0], out[row : row + 1], lab)
         else:
             x = jnp.concatenate([s for s, _ in drawn], axis=0)
             out = np.asarray(machine(x))

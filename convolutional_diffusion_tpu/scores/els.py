@@ -121,6 +121,10 @@ class LocalEquivScoreModule(ScoreModuleBase):
     off for CPU (where the jnp path is used; the kernel itself is also
     CPU-testable via interpret mode)."""
 
+    # label may be a [b] vector (one label per seed) — batched conditional
+    # generation in ONE sweep; the reference can only filter per scalar call
+    supports_vector_label = True
+
     def __init__(
         self,
         dataset,
@@ -184,8 +188,15 @@ class LocalEquivScoreModule(ScoreModuleBase):
         self._bank_cache[k] = build(self.images)
         return self._bank_cache[k]
 
-    def _build_bank_mode(self, *, k: int, x_shape, has_label: bool):
-        """Jitted scorer over a precomputed (padded) patch bank."""
+    def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
+                         vector_label: bool = False):
+        """Jitted scorer over a precomputed (padded) patch bank.
+
+        vector_label=True: `lab` is a [b] vector — one label PER SEED
+        (batched conditional generation, a capability the reference lacks:
+        its modules filter by one scalar label per call, idealscore.py:435).
+        Per-seed weights ride into the flash kernel as per-seed bias rows
+        (each h*w-query block maps to its seed's row — zero per-pair cost)."""
         batch_size = self.batch_size
         max_samples = self.max_samples
         B = self.target_block
@@ -198,31 +209,44 @@ class LocalEquivScoreModule(ScoreModuleBase):
 
         def fn(bank, centers, pn, labels, order, x, lab, at, bt):
             d = bank.shape[1]
-            w_img = image_weights(
-                labels,
-                lab if has_label else None,
-                batch_size=batch_size,
-                max_samples=max_samples,
-                cutoff=CutoffRule.UNFILTERED,
-                weighting=Weighting.MEAN,
-                per_image_bank=per_img,
-                order=order,
-            )
-            w_patch = jnp.repeat(w_img, per_img)
-            w_patch = jnp.concatenate(
-                [w_patch, jnp.zeros((bank.shape[0] - ptot,), w_patch.dtype)]
-            )
+            pad_p = bank.shape[0] - ptot
+
+            def weights_for(one_lab):
+                w_img = image_weights(
+                    labels,
+                    one_lab,
+                    batch_size=batch_size,
+                    max_samples=max_samples,
+                    cutoff=CutoffRule.UNFILTERED,
+                    weighting=Weighting.MEAN,
+                    per_image_bank=per_img,
+                    order=order,
+                )
+                w_patch = jnp.repeat(w_img, per_img)
+                return jnp.concatenate(
+                    [w_patch, jnp.zeros((pad_p,), w_patch.dtype)]
+                )
+
+            if vector_label:
+                w_patch = jax.vmap(weights_for)(lab)  # [b, Pp_total]
+            else:
+                w_patch = weights_for(lab if has_label else None)
 
             b = x.shape[0]
+            hw = h * w
             xq = extract_patches(pad_image(x, k // 2, "circular"), k)
-            M = b * h * w
+            M = b * hw
             xq_flat = xq.reshape(M, d)
             qn_flat = jnp.sum(xq_flat**2, axis=-1)
 
             bank_b = bank.reshape(-1, B, d)
             centers_b = centers.reshape(-1, B, c)
             pn_b = pn.reshape(-1, B)
-            w_b = w_patch.reshape(-1, B)
+            w_b = (
+                w_patch.reshape(b, -1, B).transpose(1, 0, 2)  # [nblk, b, B]
+                if vector_label
+                else w_patch.reshape(-1, B)
+            )
             beta2 = 2.0 * bt**2
 
             if use_pallas:
@@ -239,6 +263,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                             xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state,
                             precision=self.precision,
                             fast_exp=(self.precision != "highest"),
+                            rows_per_seed=hw if vector_label else None,
                         ),
                         None,
                     )
@@ -261,6 +286,10 @@ class LocalEquivScoreModule(ScoreModuleBase):
                         precision=jax.lax.Precision.HIGHEST,
                     )
                     logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
+                    if vector_label:
+                        # per-seed weights: rows of seed s use wb[s]
+                        wrow = jnp.repeat(wb, hw, axis=0)  # [M, B]
+                        return update_state(state, logits, wrow, vb), None
                     return update_state(state, logits, wb[None, :], vb), None
 
                 state, _ = jax.lax.scan(
@@ -280,8 +309,26 @@ class LocalEquivScoreModule(ScoreModuleBase):
             raise ValueError(
                 f"kernel size must be odd and positive, got {kk}"
             )
+        import numpy as np
+
+        vector_label = (
+            label is not None and getattr(np.asarray(label), "ndim", 0) == 1
+        )
         bank = self._bank(kk)
         if bank is None:
+            if vector_label:
+                # streaming fallback: group seeds by unique label and stitch
+                # (semantically identical; the bank path batches them truly)
+                x = jnp.asarray(x, jnp.float32)
+                labs_np = np.asarray(label)
+                out = jnp.zeros_like(x)
+                for lab_val in np.unique(labs_np):
+                    sel = np.nonzero(labs_np == lab_val)[0]
+                    part = super().__call__(
+                        t, x[sel], label=int(lab_val), k=kk, order=order
+                    )
+                    out = out.at[sel].set(part)
+                return out
             return super().__call__(t, x, label=label, k=kk, order=order)
         from .base import _as_scalar_t
 
@@ -291,12 +338,16 @@ class LocalEquivScoreModule(ScoreModuleBase):
         at = jnp.sqrt(1.0 - beta)
         bt = jnp.sqrt(beta)
         has_label = label is not None
-        key = ("bank", kk, x.shape, has_label)
+        key = ("bank", kk, x.shape, has_label, vector_label)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_bank_mode(
-                k=kk, x_shape=x.shape, has_label=has_label
+                k=kk, x_shape=x.shape, has_label=has_label,
+                vector_label=vector_label,
             )
-        lab = jnp.asarray(label if has_label else -1, jnp.int32)
+        if vector_label:
+            lab = jnp.asarray(label, jnp.int32)
+        else:
+            lab = jnp.asarray(label if has_label else -1, jnp.int32)
         return self._jit_cache[key](
             *bank, self.labels, self._stream_order(order), x, lab, at, bt
         )

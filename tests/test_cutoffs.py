@@ -11,6 +11,7 @@ permutations (idealscore.py:489)."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -182,3 +183,89 @@ class TestShuffleDeterminism:
             np.asarray(base(t, x)),
             rtol=2e-5, atol=2e-6,
         )
+
+
+class TestVectorLabelELS:
+    """Batched conditional ELS: label=[b] vector, one label per seed (a
+    capability the reference lacks — its modules filter per scalar call).
+    Must equal the per-label scalar calls exactly in every mode."""
+
+    def _mods_and_inputs(self, data, **kw):
+        imgs, labs, _, t = data
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=BS,
+            schedule=cosine_noise_schedule, **kw,
+        )
+        key = jax.random.PRNGKey(5)
+        x = jax.random.normal(key, (4, 8, 8, 3))
+        vec = np.array([0, 2, 1, 0], np.int32)
+        return mod, x, vec, t
+
+    def _expect(self, mod, t, x, vec):
+        rows = [
+            np.asarray(mod(t, x[i : i + 1], label=int(vec[i])))
+            for i in range(len(vec))
+        ]
+        return np.concatenate(rows, axis=0)
+
+    def test_bank_mode(self, data):
+        mod, x, vec, t = self._mods_and_inputs(data)
+        got = np.asarray(mod(t, x, label=vec))
+        np.testing.assert_allclose(
+            got, self._expect(mod, t, x, vec), rtol=2e-5, atol=2e-6
+        )
+
+    def test_streaming_fallback(self, data):
+        mod, x, vec, t = self._mods_and_inputs(data, bank_budget_bytes=0)
+        got = np.asarray(mod(t, x, label=vec))
+        np.testing.assert_allclose(
+            got, self._expect(mod, t, x, vec), rtol=2e-5, atol=2e-6
+        )
+
+    def test_with_max_samples(self, data):
+        mod, x, vec, t = self._mods_and_inputs(data, max_samples=8)
+        got = np.asarray(mod(t, x, label=vec))
+        np.testing.assert_allclose(
+            got, self._expect(mod, t, x, vec), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_vector_label_flash_kernel_interpret(data):
+    """Per-seed bias rows through the Pallas kernel (interpret mode) must
+    match the jnp bank path."""
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        NEG_INF,
+        flash_score_update,
+        state_from_pallas,
+    )
+    from convolutional_diffusion_tpu.scores.common import (
+        init_state,
+        update_state,
+    )
+
+    S, hw, P, d, c = 3, 16, 40, 12, 3
+    key = jax.random.PRNGKey(0)
+    M = S * hw
+    q = jax.random.normal(key, (M, d))
+    qn = jnp.sum(q**2, -1)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (P, d))
+    pn = jnp.sum(bank**2, -1)
+    vals = bank[:, :c]
+    w = jax.random.uniform(jax.random.PRNGKey(2), (S, P), minval=0.0, maxval=1.0)
+    w = jnp.where(w < 0.3, 0.0, w)  # some excluded entries
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+
+    m, s1, s2 = state_from_pallas(
+        *flash_score_update(
+            q, qn, bank, pn, vals, w[:, :P], at, bt,
+            (jnp.full((M,), NEG_INF), jnp.zeros((M,)), jnp.zeros((M, c))),
+            interpret=True, rows_per_seed=hw,
+        )
+    )
+
+    logits = -(qn[:, None] - 2 * at * (q @ bank.T) + at**2 * pn) / (2 * bt**2)
+    wrow = jnp.repeat(w, hw, axis=0)
+    ref = update_state(init_state((M,), c), logits, wrow, vals)
+    np.testing.assert_allclose(np.asarray(s2 / s1[:, None]),
+                               np.asarray(ref.s2 / ref.s1[:, None]),
+                               rtol=2e-5, atol=2e-6)
