@@ -154,5 +154,8 @@ def test_analyze_ed_end_to_end(tmp_path):
         "--image_size", "8", "--max_samples", "16", "--kernel_size", "3",
         "--scorebatchsize", "16", "--single", "--checkpoints", str(tmp_path),
     ])
-    assert os.path.exists(os.path.join(results, "ed_summary.json"))
-    assert os.path.exists(os.path.join(results, "ed_magnitude.png"))
+    # reference-parity artifact names (analyze_exterior_derivative.py
+    # _plot_single_results / _save_aggregated_results)
+    assert os.path.exists(os.path.join(results, "summary_stats.json"))
+    assert os.path.exists(os.path.join(results, "ed_analysis_single.png"))
+    assert os.path.exists(os.path.join(results, "ed_analysis_single.npz"))
