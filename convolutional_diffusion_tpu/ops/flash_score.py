@@ -106,6 +106,17 @@ def _kernel(
         e = jnp.exp(logits - m_safe)  # [BQ, BP]; excluded entries underflow
     scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
 
+    if v_strategy == "mxu1":
+        # fused fast path: V carries a ones column at lane c, so ONE bf16
+        # MXU dot e @ [V|1] accumulates s2 AND s1 (the s1 lane) together —
+        # zero per-channel VPU passes, and the MXU is nearly idle at small d
+        s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
+            e.astype(jnp.bfloat16), v_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, :] = m_new
+        return
+
     s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
         e, axis=1, keepdims=True, dtype=jnp.float32
     )
@@ -171,6 +182,9 @@ def flash_score_update(
     v_strategy: 'mxu' computes e @ V on the MXU (V lane-padded to 128 — a
     128/c waste for image channels); 'vpu' accumulates the c channels as
     VPU row-reductions over transposed V rows (the win for c<=3);
+    'mxu1' (fast mode only) fuses s1 INTO the MXU dot via a ones column —
+    e @ [V|1] in bf16 — removing all per-channel VPU accumulation passes
+    (the MXU is nearly idle at small d, so this rides free capacity);
     'auto' picks 'vpu' when c <= 8.
 
     fast_exp (default: precision != 'highest'): bf16 exp/mask elementwise —
@@ -220,6 +234,14 @@ def flash_score_update(
         fast_exp = precision != "highest"
     if v_strategy == "auto":
         v_strategy = "vpu" if c <= 8 else "mxu"
+    if v_strategy == "mxu1":
+        if not fast_exp:
+            raise ValueError(
+                "v_strategy='mxu1' is a fast-mode path (bf16 e @ [V|1]); "
+                "parity mode keeps the fp32 VPU accumulation"
+            )
+        if c + 1 > cp:
+            raise ValueError(f"no spare lane for s1 (c={c}, cp={cp})")
 
     at = at.astype(jnp.float32)
     inv2bt2 = (1.0 / (2.0 * bt * bt)).astype(jnp.float32)
@@ -241,6 +263,15 @@ def flash_score_update(
         vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
         v_block = (c8, block_p)
         v_index = lambda qi, pj: (0, pj)
+    elif v_strategy == "mxu1":
+        # fused fast path: bf16 [V | 1] so one MXU dot accumulates s2 + s1
+        vp = (
+            jnp.zeros((Pp, cp), jnp.bfloat16)
+            .at[:P, :c].set(values.astype(jnp.bfloat16))
+            .at[:P, c].set(jnp.bfloat16(1.0))
+        )
+        v_block = (block_p, cp)
+        v_index = lambda qi, pj: (pj, 0)
     else:
         vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
         v_block = (block_p, cp)
@@ -256,6 +287,8 @@ def flash_score_update(
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
     s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
+    if v_strategy == "mxu1":
+        s2p = s2p.at[:M, c].set(s10)  # s1 rides the s2 tile's lane c
 
     scale = jnp.stack([2.0 * at * inv2bt2, inv2bt2]).reshape(1, 2)
 
@@ -296,6 +329,8 @@ def flash_score_update(
 
     m_out = out_m[:M, 0]
     m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out - qn_s)
+    if v_strategy == "mxu1":
+        return m_out, out_s2[:M, c], out_s2[:M, :c]
     return m_out, out_s1[:M, 0], out_s2[:M, :c]
 
 

@@ -109,3 +109,53 @@ def test_zero_weight_bank_entries_ignored():
                            block_q=16, block_p=32, interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+def test_mxu1_fused_matches_vpu_fast_mode():
+    """mxu1: one bf16 MXU dot e @ [V|1] accumulates s2 AND s1 (ones lane).
+    Must match the fast-mode VPU accumulation within bf16 product error."""
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        NEG_INF,
+        flash_score_update,
+    )
+
+    key = jax.random.PRNGKey(0)
+    M, P, d, c = 64, 96, 12, 3
+    q = jax.random.normal(key, (M, d))
+    qn = jnp.sum(q**2, -1)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (P, d))
+    pn = jnp.sum(bank**2, -1)
+    vals = bank[:, :c]
+    w = jnp.full((P,), 1.0 / P).at[:7].set(0.0)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    state = (jnp.full((M,), NEG_INF), jnp.zeros((M,)), jnp.zeros((M, c)))
+
+    outs = {}
+    for strat in ("vpu", "mxu1"):
+        m, s1, s2 = flash_score_update(
+            q, qn, bank, pn, vals, w, at, bt, state,
+            interpret=True, precision="default", fast_exp=True,
+            v_strategy=strat,
+        )
+        outs[strat] = (np.asarray(s2 / s1[:, None]), np.asarray(m))
+    np.testing.assert_allclose(
+        outs["mxu1"][0], outs["vpu"][0], rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(outs["mxu1"][1], outs["vpu"][1], rtol=1e-6)
+
+
+def test_mxu1_requires_fast_mode():
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        NEG_INF,
+        flash_score_update,
+    )
+
+    z = jnp.zeros((8, 4))
+    state = (jnp.full((8,), NEG_INF), jnp.zeros((8,)), jnp.zeros((8, 2)))
+    with pytest.raises(ValueError, match="mxu1"):
+        flash_score_update(
+            z, jnp.zeros(8), jnp.zeros((8, 4)), jnp.zeros(8),
+            jnp.zeros((8, 2)), jnp.ones(8), jnp.float32(0.9), jnp.float32(0.4),
+            state, interpret=True, precision="highest", fast_exp=False,
+            v_strategy="mxu1",
+        )
