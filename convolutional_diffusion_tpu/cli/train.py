@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ndevices", type=int, default=0,
                         help="data-parallel devices (0 = all available)")
+    parser.add_argument("--export_torch", type=str, default=None,
+                        help="also export the trained weights as a torch "
+                             "state_dict .pt, loadable by the reference via "
+                             "backbone.load_state_dict(torch.load(path))")
     args = parser.parse_args(argv)
 
     from ..data import get_dataset
@@ -98,6 +102,24 @@ def main(argv=None):
         extra=meta_cfg,
     )
     log(f"saved final checkpoint under {ckpt_dir}")
+    if args.export_torch:
+        from .. import convert
+        from ..models import MinimalResNet
+
+        normal = None if args.nonorm else "GroupNorm"
+        p = params["params"] if isinstance(params, dict) and "params" in params else params
+        if isinstance(backbone, MinimalResNet):
+            sd = convert.resnet_state_dict_from_params(
+                p, num_layers=args.layers, normalization=normal,
+                conditional=args.conditional,
+            )
+        else:
+            sd = convert.unet_state_dict_from_params(
+                params, n_feature_blocks=args.layers - 1,
+                normalization=normal, conditional=args.conditional,
+            )
+        convert.save_torch_state_dict(sd, args.export_torch)
+        log(f"exported torch state_dict to {args.export_torch}")
 
 
 if __name__ == "__main__":

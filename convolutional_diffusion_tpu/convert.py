@@ -420,3 +420,149 @@ def load_scales(path: str):
             s = s.item()
         out.append(int(s))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inverse export: Flax params -> torch state_dict (.pt)
+# ---------------------------------------------------------------------------
+# Lets reference users round-trip: models trained here load back into the
+# reference's torch modules via `backbone.load_state_dict(torch.load(path))`.
+# (A whole-pickle DDIM export is impossible by design — that would require
+# instantiating the reference's classes, i.e. importing its code.)
+
+
+def _t_conv(kernel) -> np.ndarray:
+    """flax [kh, kw, I, O] -> torch Conv2d [O, I, kh, kw]."""
+    return np.asarray(kernel).transpose(3, 2, 0, 1)
+
+
+def _t_dense(kernel) -> np.ndarray:
+    """flax [I, O] -> torch Linear [O, I]."""
+    return np.asarray(kernel).transpose(1, 0)
+
+
+def _t_conv_transpose(kernel) -> np.ndarray:
+    """flax transpose_kernel=True [kh, kw, O, I] -> torch [I, O, kh, kw]."""
+    return np.asarray(kernel).transpose(3, 2, 0, 1)
+
+
+def _put_conv(sd, prefix, entry):
+    sd[prefix + ".weight"] = _t_conv(entry["conv"]["kernel"])
+    if "bias" in entry["conv"]:
+        sd[prefix + ".bias"] = np.asarray(entry["conv"]["bias"])
+
+
+def _put_dense(sd, prefix, entry):
+    sd[prefix + ".weight"] = _t_dense(entry["kernel"])
+    if "bias" in entry:
+        sd[prefix + ".bias"] = np.asarray(entry["bias"])
+
+
+def _put_norm(sd, prefix, entry, stats=None):
+    sd[prefix + ".weight"] = np.asarray(entry["scale"])
+    sd[prefix + ".bias"] = np.asarray(entry["bias"])
+    if stats is not None:  # BatchNorm running statistics
+        sd[prefix + ".running_mean"] = np.asarray(stats["mean"])
+        sd[prefix + ".running_var"] = np.asarray(stats["var"])
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def resnet_state_dict_from_params(
+    params: Mapping[str, Any], *, num_layers: int,
+    normalization: Optional[str] = None, add_one: bool = True,
+    conditional: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Inverse of resnet_params_from_torch (reference layout
+    src/models.py:139-157)."""
+    sd: Dict[str, np.ndarray] = {}
+    if conditional:
+        sd["embedding.class_embeddings.weight"] = np.asarray(
+            params["embedding"]["class_embeddings"]["embedding"]
+        )
+    _put_conv(sd, "up_projection", params["up_projection"])
+    n_embs = num_layers + (1 if add_one else 0)
+    for i in range(n_embs):
+        _put_dense(sd, f"embs.{i}.0", params[f"emb_{i}"]["dense"])
+        _put_norm(sd, f"embs.{i}.1", params[f"emb_{i}"]["norm"])
+    for i in range(num_layers):
+        _put_conv(sd, f"convs.{i}.0", params[f"conv_{i}"])
+        if normalization is not None:
+            _put_norm(sd, f"convs.{i}.1", params[f"conv_norm_{i}"])
+    if normalization is None:
+        _put_conv(sd, "down_projection", params["down_projection"])
+    else:
+        _put_norm(sd, "down_projection.0", params["down_norm"])
+        _put_conv(sd, "down_projection.1", params["down_projection"])
+    return sd
+
+
+def _ublock_state_dict(sd, prefix, block, stats, *, normalization, depth=2):
+    """Inverse of _ublock_params_from_torch: the torch UBlock Sequential is
+    [Conv, (Norm), ReLU] x depth (src/models.py:298-312)."""
+    _put_dense(sd, f"{prefix}.emb.1", block["emb_dense"])
+    stride = 3 if normalization is not None else 2
+    for i in range(depth):
+        _put_conv(sd, f"{prefix}.model.{i * stride}", block[f"conv_{i}"])
+        if normalization is not None:
+            _put_norm(
+                sd, f"{prefix}.model.{i * stride + 1}", block[f"norm_{i}"],
+                stats.get(f"norm_{i}") if stats else None,
+            )
+
+
+def unet_state_dict_from_params(
+    variables: Mapping[str, Any], *, n_feature_blocks: int,
+    normalization: Optional[str] = None, conditional: bool = False,
+    last_norm: bool = False, depth: int = 2,
+) -> Dict[str, np.ndarray]:
+    """Inverse of unet_variables_from_torch (reference layout
+    src/models.py:212-237). `variables` may be a bare params tree or a
+    {'params', 'batch_stats'} dict (BatchNorm running stats export too)."""
+    if "params" in variables:
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+    else:
+        params, bstats = variables, {}
+    sd: Dict[str, np.ndarray] = {}
+    if conditional:
+        sd["embedding.class_embeddings.weight"] = np.asarray(
+            params["embedding"]["class_embeddings"]["embedding"]
+        )
+    for i in range(n_feature_blocks):
+        _ublock_state_dict(
+            sd, f"feature_blocks.{i}", params[f"feature_block_{i}"],
+            bstats.get(f"feature_block_{i}"), normalization=normalization,
+            depth=depth,
+        )
+    _ublock_state_dict(
+        sd, "bottleneck", params["bottleneck"], bstats.get("bottleneck"),
+        normalization=normalization, depth=depth,
+    )
+    for j in range(n_feature_blocks):
+        up = params[f"upsample_{j}"]
+        sd[f"upsamples.{j}.weight"] = _t_conv_transpose(up["kernel"])
+        sd[f"upsamples.{j}.bias"] = np.asarray(up["bias"])
+        _ublock_state_dict(
+            sd, f"output_blocks.{j}", params[f"output_block_{j}"],
+            bstats.get(f"output_block_{j}"), normalization=normalization,
+            depth=depth,
+        )
+    _put_dense(sd, "last_emb.1", params["last_emb_dense"])
+    _put_conv(sd, "output_conv", params["output_conv"])
+    if last_norm and "last_normalizer" in params:
+        _put_norm(
+            sd, "last_normalizer", params["last_normalizer"],
+            bstats.get("last_normalizer"),
+        )
+    return sd
+
+
+def save_torch_state_dict(sd: Mapping[str, np.ndarray], path: str) -> None:
+    """torch.save a numpy state_dict as tensors (loadable by the reference
+    via `module.load_state_dict(torch.load(path))`)."""
+    import torch
+
+    torch.save(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+        path,
+    )
