@@ -49,7 +49,15 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--modelfile", type=str, default=None,
                         help="explicit checkpoint (else auto-detected)")
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..analysis.exterior_derivative import (
         compute_exterior_derivative_nd,

@@ -19,7 +19,15 @@ def main(argv=None):
     parser.add_argument("--title", type=str, default="")
     parser.add_argument("--figname", type=str, default="corrs.png")
     parser.add_argument("--nsteps", type=int, default=20)
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..data import get_metadata
     from ..pipeline import evaluate_correlations

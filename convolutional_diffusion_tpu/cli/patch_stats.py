@@ -18,7 +18,15 @@ def main(argv=None):
     parser.add_argument("--results", type=str, default="./results/patch_statistics")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--grayscale", action="store_true", default=False)
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import numpy as np

@@ -25,7 +25,15 @@ def main(argv=None):
     parser.add_argument("--save_arrays", type=str, default=None)
     parser.add_argument("--clip", action="store_true", default=True)
     parser.add_argument("--ndevices", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..parallel.mesh import make_mesh
     from ..sampling import sample, sample_sharded

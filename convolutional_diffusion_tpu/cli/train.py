@@ -39,7 +39,15 @@ def main(argv=None):
                         help="also export the trained weights as a torch "
                              "state_dict .pt, loadable by the reference via "
                              "backbone.load_state_dict(torch.load(path))")
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..data import get_dataset
     from ..models import DiffusionModel

@@ -31,7 +31,15 @@ def main(argv=None):
     parser.add_argument("--dataroot", type=str, default="./data")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ndevices", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force the CPU backend (the TPU platform is "
+                             "pinned at config level; env vars cannot)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     args.layers = min(args.layers, 4)  # reference caps at 4 (64->8 pools)
 
