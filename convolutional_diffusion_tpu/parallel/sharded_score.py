@@ -48,12 +48,22 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
     with the images).
     """
 
+    # the sharded sweep computes one global weight vector per call — per-seed
+    # vector labels are a single-device bank-mode capability (els.py); the
+    # pipeline falls back to unique-label grouping here
+    supports_vector_label = False
+
     def __init__(self, dataset, *, mesh: Mesh, axis: str = "data", **kw):
         self.mesh = mesh
         self.axis = axis
         super().__init__(dataset, **kw)
 
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
+        if label is not None and getattr(jnp.asarray(label), "ndim", 0) == 1:
+            raise ValueError(
+                "sharded ELS takes a scalar label per call; the pipeline "
+                "groups seeds by label (supports_vector_label is False)"
+            )
         # bypass the single-device bank-mode fast path; the sharded sweep
         # extracts per-shard banks inside shard_map
         from ..scores.base import ScoreModuleBase

@@ -110,3 +110,26 @@ def test_shard_dataset_placement(data):
     si, sl = shard_dataset(jnp.asarray(images), jnp.asarray(labels), mesh)
     assert si.sharding.spec == jax.sharding.PartitionSpec("data", None, None, None)
     assert sl.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_sharded_els_rejects_vector_label():
+    """Vector labels are a single-device bank-mode capability; the sharded
+    module must refuse loudly (the pipeline then groups by label)."""
+    import numpy as np
+    import pytest
+
+    from convolutional_diffusion_tpu.parallel.mesh import make_mesh
+    from convolutional_diffusion_tpu.parallel.sharded_score import (
+        ShardedLocalEquivScoreModule,
+    )
+
+    rs = np.random.RandomState(0)
+    imgs = rs.uniform(-1, 1, (16, 8, 8, 1)).astype(np.float32)
+    labs = rs.randint(0, 3, 16).astype(np.int32)
+    mod = ShardedLocalEquivScoreModule(
+        (imgs, labs), mesh=make_mesh(8), kernel_size=3, batch_size=8,
+        use_pallas=False,
+    )
+    assert not mod.supports_vector_label
+    with pytest.raises(ValueError, match="scalar label"):
+        mod(0.5, jnp.zeros((2, 8, 8, 1)), label=np.array([0, 1]))
