@@ -55,9 +55,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cpu:
-        import jax
+        import jax as _jax
 
-        jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_platforms", "cpu")
 
     from ..analysis.exterior_derivative import (
         compute_exterior_derivative_nd,

@@ -25,9 +25,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cpu:
-        import jax
+        import jax as _jax
 
-        jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_platforms", "cpu")
 
     from ..data import get_metadata
     from ..pipeline import evaluate_correlations

@@ -37,9 +37,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cpu:
-        import jax
+        import jax as _jax
 
-        jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_platforms", "cpu")
 
     args.layers = min(args.layers, 4)  # reference caps at 4 (64->8 pools)
 
