@@ -59,7 +59,7 @@ def _kernel(
         s1_ref[:, :] = s1_in[:, :]
         s2_ref[:, :] = s2_in[:, :]
 
-    dotscale = scale_ref[0, 0]  # 2 a_t / (2 beta_t^2) = a_t / beta_t^2
+    dotscale = scale_ref[0, 0]  # (2 a_t / (2 beta_t^2)) * log2(e)
 
     if fast_exp and precision != jax.lax.Precision.HIGHEST:
         # manual bf16x3 (the 'HIGH' algorithm — Mosaic kernels only expose
@@ -83,13 +83,16 @@ def _kernel(
             precision=precision,
         )  # [BQ, BP]
     # The per-pair logit assembly is ONE fma: everything per-patch — the
-    # -a_t^2 ||p||^2 / (2 beta^2) term AND the log-space weight (log w, or
+    # -a_t^2 ||p||^2 / (2 beta^2) term AND the log-space weight (log2 w, or
     # NEG_INF for excluded/padded entries; uniform weights are free) — is
     # pre-folded into the bias row by the wrapper, and the per-QUERY
     # -||q||^2 / (2 beta^2) term is dropped entirely: it is constant along
     # the softmax axis, so the wrapper shifts the carried m by it on entry
     # and back on exit (an exact change of the online-softmax offset; s2/s1
-    # and the external state convention are unchanged).
+    # and the external state convention are unchanged). The kernel works in
+    # BASE-2 log space (log2(e) folded into dotscale/bias by the wrapper):
+    # exp lowers to exp2(x * log2e) on the VPU anyway, so exp2 saves one
+    # [BQ, BP] multiply pass per block visit.
     logits = dots * dotscale + bias_ref[:, :]
 
     m_old = m_ref[:, :]  # [BQ, 1]
@@ -99,12 +102,12 @@ def _kernel(
     fast = fast_exp
     if fast:
         # fast mode: the exp elementwise work dominates (VPU-bound); bf16
-        # doubles VPU lanes. logits - m_safe <= 0 so exp in [0, 1] — bf16's
+        # doubles VPU lanes. logits - m_safe <= 0 so exp2 in [0, 1] — bf16's
         # ~3 decimal digits cost ~4e-3 relative on posterior means.
-        e = jnp.exp((logits - m_safe).astype(jnp.bfloat16))
+        e = jnp.exp2((logits - m_safe).astype(jnp.bfloat16))
     else:
-        e = jnp.exp(logits - m_safe)  # [BQ, BP]; excluded entries underflow
-    scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp(m_old - m_safe))
+        e = jnp.exp2(logits - m_safe)  # [BQ, BP]; excluded entries underflow
+    scale = jnp.where(m_old <= NEG_INF * 0.5, 0.0, jnp.exp2(m_old - m_safe))
 
     if v_strategy == "mxu1":
         # fused fast path: V carries a ones column at lane c, so ONE bf16
@@ -243,21 +246,25 @@ def flash_score_update(
         if c + 1 > cp:
             raise ValueError(f"no spare lane for s1 (c={c}, cp={cp})")
 
+    LOG2E = jnp.float32(1.4426950408889634)
+    LN2 = jnp.float32(0.6931471805599453)
     at = at.astype(jnp.float32)
     inv2bt2 = (1.0 / (2.0 * bt * bt)).astype(jnp.float32)
     qp = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(q)
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
-    logw = jnp.where(w > 0.0, jnp.log(jnp.maximum(w, 1e-38)), NEG_INF)
-    # per-patch bias: -a_t^2 ||p||^2 / (2 beta^2) + log w (NEG_INF excluded);
-    # computed once per sweep (P or S*P work) so the kernel's per-pair logit
-    # is a single fma on top of the MXU dot
-    bias = jnp.maximum(-(at * at) * inv2bt2 * pn + logw, NEG_INF)
+    # kernel-internal logits live in BASE-2 log space (see _kernel): weights
+    # enter as log2 w and the distance scale carries a log2(e) factor
+    logw = jnp.where(w > 0.0, jnp.log2(jnp.maximum(w, 1e-38)), NEG_INF)
+    # per-patch bias: (-a_t^2 ||p||^2 / (2 beta^2)) * log2e + log2 w (NEG_INF
+    # excluded); computed once per sweep (P or S*P work) so the kernel's
+    # per-pair logit is a single fma on top of the MXU dot
+    bias = jnp.maximum(-(at * at) * inv2bt2 * LOG2E * pn + logw, NEG_INF)
     # the per-query -||q||^2/(2 beta^2) softmax offset is handled OUTSIDE the
-    # kernel: shift the carried m into the kernel's qn-less convention on the
-    # way in and back out (exact in real arithmetic; the residual fp32
-    # rounding only perturbs the m offset, never s2/s1)
+    # kernel: shift the carried m into the kernel's qn-less log2 convention
+    # on the way in and back out (exact in real arithmetic; the residual
+    # fp32 rounding only perturbs the m offset, never s2/s1)
     qn_s = (qn * inv2bt2).astype(jnp.float32)
-    m0 = jnp.where(m0 <= NEG_INF * 0.5, m0, m0 + qn_s)
+    m0 = jnp.where(m0 <= NEG_INF * 0.5, m0, (m0 + qn_s) * LOG2E)
     if v_strategy == "vpu":
         c8 = _round_up(c, 8)  # sublane-aligned transposed values [c8, Pp]
         vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
@@ -290,7 +297,7 @@ def flash_score_update(
     if v_strategy == "mxu1":
         s2p = s2p.at[:M, c].set(s10)  # s1 rides the s2 tile's lane c
 
-    scale = jnp.stack([2.0 * at * inv2bt2, inv2bt2]).reshape(1, 2)
+    scale = jnp.stack([2.0 * at * inv2bt2 * LOG2E, inv2bt2]).reshape(1, 2)
 
     grid = (Mp // block_q, Pp // block_p)
 
@@ -328,7 +335,7 @@ def flash_score_update(
     )(biasp, qp, bankp, vp, scale, mp, s1p, s2p)
 
     m_out = out_m[:M, 0]
-    m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out - qn_s)
+    m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out * LN2 - qn_s)
     if v_strategy == "mxu1":
         return m_out, out_s2[:M, c], out_s2[:M, :c]
     return m_out, out_s1[:M, 0], out_s2[:M, :c]
