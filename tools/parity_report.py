@@ -182,6 +182,83 @@ def main():
             in_channels=3, imsize=8, scales=scales)(x),
         z["machine/bbels/out"])
 
+    # ---- cutoff / shuffle semantics (round 2; tests/test_cutoffs.py) ----
+    zc = np.load(os.path.join(GOLDEN_DIR, "cutoffs.npz"))
+    imgs_c = nhwc(zc["imgs"])
+    labs_c = zc["labs"].astype(np.int32)
+    xc = jnp.asarray(nhwc(zc["x"]))
+    tc = float(zc["t"][0])
+
+    def IS(**kw):
+        return IdealScoreModule(
+            (imgs_c, labs_c), batch_size=5, schedule=cosine_noise_schedule, **kw
+        )
+
+    def ELS(**kw):
+        return LocalEquivScoreModule(
+            (imgs_c, labs_c), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule, **kw
+        )
+
+    def LS(**kw):
+        return LocalScoreModule(
+            (imgs_c, labs_c), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule, **kw
+        )
+
+    def BB(**kw):
+        return LocalEquivBordersScoreModule(
+            (imgs_c, labs_c), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule, **kw
+        )
+
+    add("IS cutoff (FILTERED)", "max=11, partial last batch",
+        IS(max_samples=11)(tc, xc), zc["is/max11/out"])
+    add("IS cutoff (FILTERED)", "label=1 + max=6",
+        IS(max_samples=6)(tc, xc, label=1), zc["is/label1max6/out"])
+    for ms, tag in ((8, "max8"), (10, "max10"), (11, "max11")):
+        add("ELS cutoff (UNFILTERED)", f"max={ms}",
+            ELS(max_samples=ms)(tc, xc), zc[f"els/{tag}/out"])
+    add("ELS cutoff (UNFILTERED)", "label=1 + max=6",
+        ELS(max_samples=6)(tc, xc, label=1), zc["els/label1max6/out"])
+    add("ELS shuffle", "recorded DataLoader perm, max=8",
+        ELS(max_samples=8)(tc, xc, order=zc["els/max8shuf/perm"]),
+        zc["els/max8shuf/out"])
+    add("LS shuffle", "recorded perm + max=8",
+        LS(max_samples=8)(tc, xc, order=zc["ls/max8shuf/perm"]),
+        zc["ls/max8shuf/out"])
+    add("LS shuffle", "recorded perm + label=0 + max=4",
+        LS(max_samples=4)(tc, xc, label=0, order=zc["ls/label0max4shuf/perm"]),
+        zc["ls/label0max4shuf/out"])
+    for ms, tag in ((4, "max4"), (5, "max5"), (11, "max11")):
+        add("bbELS cutoff (BATCH_QUOTA)", f"max={ms}",
+            BB(max_samples=ms)(tc, xc), zc[f"bbels/{tag}/out"])
+
+    # ---- BatchNorm UNet (round 2; tests/test_batchnorm.py) ----
+    zb = np.load(os.path.join(GOLDEN_DIR, "unet_batchnorm.npz"))
+    sdb = {k[len("sd/"):]: zb[k] for k in zb.files if k.startswith("sd/")}
+    netb = MinimalUNet(
+        channels=3, fsizes=(8, 16), emb_dim=16, kernel_size=3, lastksize=1,
+        mode="zeros", normalization="BatchNorm", last_norm=True,
+    )
+    variables = convert.unet_variables_from_torch(
+        sdb, n_feature_blocks=1, last_norm=True
+    )
+    tb = jnp.asarray(zb["t"])
+    add("BatchNorm UNet", "eval w/ converted running stats",
+        netb.apply(variables, tb, jnp.asarray(nhwc(zb["x_eval"]))),
+        zb["out_eval"])
+    fresh = netb.init(jax.random.PRNGKey(0), tb, jnp.asarray(nhwc(zb["x0"])))
+    vars_now = {"params": variables["params"], "batch_stats": fresh["batch_stats"]}
+    for i in range(3):
+        o, upd = netb.apply(
+            vars_now, tb, jnp.asarray(nhwc(zb[f"x{i}"])), train=True,
+            mutable=["batch_stats"],
+        )
+        vars_now = {"params": vars_now["params"], **upd}
+        add("BatchNorm UNet", f"train-mode forward {i} (stats updating)",
+            o, zb[f"train_out{i}"])
+
     # ---- whole-pickle ingestion ----
     zp = np.load(os.path.join(GOLDEN_DIR, "pickle_forward.npz"))
     pk = os.path.join(GOLDEN_DIR, "pickles")
