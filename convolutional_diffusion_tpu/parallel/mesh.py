@@ -20,13 +20,42 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_spec"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_spec",
+    "init_distributed",
+]
+
+
+def init_distributed() -> int:
+    """Multi-host initialization (DCN): call once per process before any
+    other jax API when running under a multi-host launcher. No-op (returns
+    process count 1) when the standard coordinator env vars are absent, so
+    single-host code paths need no changes.
+
+    Sharding layout note (SURVEY §5): keep the 'data' axis ordered so
+    consecutive mesh positions are intra-host — the streaming-softmax merge
+    (one pmax + two psums) and the gradient psum then ride ICI within a
+    host/slice and touch DCN only at slice boundaries; `make_mesh` uses
+    jax.devices() order, which JAX already arranges host-major.
+    """
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return jax.process_count()
+    return 1
 
 
 def make_mesh(
     n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:
-    """1-D (or factored) device mesh over the first n devices."""
+    """1-D (or factored) device mesh over the first n devices (all processes'
+    devices under multi-host — see init_distributed)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = np.asarray(devs[:n])
