@@ -69,13 +69,16 @@ class ScheduledScoreMachine:
             nsteps = (
                 self.default_time_steps if self.scales is None else len(self.scales)
             )
+        from ..utils import profiling
+
         b = x.shape[0]
         trajectory = []
         for i in range(nsteps - 1, 0, -1):
             t = jnp.float32(i) / nsteps
             beta_t = self.noise_schedule(t)
             k = None if self.scales is None else self.scales[i]
-            score = self.backbone(t, x, label=label, k=k)
+            with profiling.annotate(f"machine_step_k{k}"):
+                score = self.backbone(t, x, label=label, k=k)
             eps = score * (-jnp.sqrt(beta_t)) if self.score_backbone else score
             if visualize_fn is not None:
                 imputed = (x - eps * jnp.sqrt(beta_t)) / jnp.sqrt(1.0 - beta_t)

@@ -34,6 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .models.ddim import DiffusionModel
 from .parallel.mesh import data_spec, make_mesh
 from .sampling import q_sample
+from .utils import profiling
 
 
 @dataclasses.dataclass
@@ -238,9 +239,10 @@ def train_diffusion(
                 batch_img = put_batch(images[idx])
                 batch_lab = put_batch(labels[idx])
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, batch_img, batch_lab, sub
-            )
+            with profiling.annotate("train_step"):
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch_img, batch_lab, sub
+                )
             step += 1
             if step % config.log_every == 0:
                 epoch_losses.append(float(loss))
