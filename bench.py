@@ -22,6 +22,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+if os.environ.get("BENCH_FORCE_CPU"):  # harness smoke-testing only
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 # persistent compile cache: the first run pays the remote compiles,
@@ -106,12 +110,14 @@ def _els_machine(kind, n_train, batch_size, precision):
     )
 
 
-def bench_els(kind="ELS", batch=8, n_train=50000, precision="highest"):
+def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
     """20-step machine over the FULL 50k-image bank with the repo's real
     CIFAR10 scales (8 distinct kernel sizes) — the reference els_script
     workload (numiters over the whole training set). One timed machine call
     on `batch` seeds (~minutes at this scale; iters=1, the per-call noise is
     negligible over a run this long)."""
+    batch = batch or int(os.environ.get("BENCH_ELS_BATCH", 8))
+    n_train = n_train or int(os.environ.get("BENCH_ELS_NTRAIN", 50000))
     machine = _els_machine(kind, n_train, 256, precision)
     x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
 
@@ -182,9 +188,13 @@ def main():
         details["ddpm_fp32_error"] = repr(e)
 
     # Reference-scale analytic machines (50k bank, 20-step CIFAR10 scales).
-    # Soft wall-clock budget: a cold cache pays many minutes of remote
-    # compiles per machine variant; once over budget, skip the remaining
-    # variants (noted in details) instead of blowing the harness window.
+    # Each variant runs in a SUBPROCESS with a hard timeout: a cold cache
+    # pays many minutes of remote compiles per variant, and a wedged compile
+    # tunnel must not hang the whole harness. Once over the soft budget the
+    # remaining variants are skipped (noted in details).
+    import subprocess
+    import sys as _sys
+
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
     for kind, precision, tag in (
@@ -192,11 +202,25 @@ def main():
         ("ELS", "default", "els_20step_50kbank_images_per_sec_fast"),
         ("bbELS", "highest", "bbels_20step_50kbank_images_per_sec_fp32"),
     ):
-        if time.perf_counter() - t_start > budget_s:
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < 120:
             details[tag + "_skipped"] = "over BENCH_BUDGET_S"
             continue
         try:
-            details[tag] = round(bench_els(kind, precision=precision), 4)
+            proc = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__), "--els-only",
+                 kind, precision],
+                capture_output=True, text=True, timeout=remaining,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            sub = json.loads(line)
+            if "ips" in sub:
+                details[tag] = round(float(sub["ips"]), 4)
+            else:
+                details[tag + "_error"] = sub.get("error", proc.stderr[-300:])
+        except subprocess.TimeoutExpired:
+            details[tag + "_error"] = f"timeout after {remaining:.0f}s"
         except Exception as e:  # pragma: no cover
             details[tag + "_error"] = repr(e)[:300]
 
@@ -230,4 +254,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--els-only":
+        # subprocess entry: one ELS/bbELS variant, one JSON line on stdout
+        try:
+            ips = bench_els(sys.argv[2], precision=sys.argv[3])
+            print(json.dumps({"ips": ips}))
+        except Exception as e:
+            print(json.dumps({"error": repr(e)[:300]}))
+    else:
+        main()
