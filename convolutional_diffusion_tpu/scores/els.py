@@ -318,7 +318,10 @@ class LocalEquivScoreModule(ScoreModuleBase):
         if bank is None:
             if vector_label:
                 # streaming fallback: group seeds by unique label and stitch
-                # (semantically identical; the bank path batches them truly)
+                # (semantically identical; the bank path batches them truly).
+                # Resolve the stream order ONCE so a shuffle=True module uses
+                # the same permutation for every group, like the bank path.
+                order = self._stream_order(order)
                 x = jnp.asarray(x, jnp.float32)
                 labs_np = np.asarray(label)
                 out = jnp.zeros_like(x)

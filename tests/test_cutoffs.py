@@ -269,3 +269,27 @@ def test_vector_label_flash_kernel_interpret(data):
     np.testing.assert_allclose(np.asarray(s2 / s1[:, None]),
                                np.asarray(ref.s2 / ref.s1[:, None]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_vector_label_shuffled_streaming_matches_bank(data):
+    """With shuffle=True the streaming fallback must use ONE permutation for
+    all unique-label groups (same as the bank path's single order)."""
+    imgs, labs, _, t = data
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 8, 3))
+    vec = np.array([0, 2, 1, 0], np.int32)
+    kw = dict(
+        kernel_size=3, batch_size=BS, schedule=cosine_noise_schedule,
+        max_samples=8, shuffle=True,
+    )
+    stream = LocalEquivScoreModule(
+        (imgs, labs), shuffle_key=jax.random.PRNGKey(7),
+        bank_budget_bytes=0, **kw,
+    )
+    banked = LocalEquivScoreModule(
+        (imgs, labs), shuffle_key=jax.random.PRNGKey(7), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(stream(t, x, label=vec)),
+        np.asarray(banked(t, x, label=vec)),
+        rtol=2e-5, atol=2e-6,
+    )
