@@ -72,6 +72,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             batch_size=batch_size,
             schedule=self.schedule,
             max_samples=self.max_samples,
+            precision=self.precision,
+            shuffle_key=self._shuffle_key,
         )
 
     def _center_bank(self, k: int):
