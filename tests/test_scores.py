@@ -271,3 +271,49 @@ class TestStreamingSoftmax:
         w = jnp.asarray([[1.0, 0.0]])
         st = update_state(init_state((1,), 1), logits, w, values)
         np.testing.assert_allclose(np.asarray(st.s2 / st.s1[:, None]), [[1.0]])
+
+
+class TestBankBudgetAccounting:
+    """Sizing logic of the HBM bank cache at reference (50k CIFAR) scale —
+    pure accounting, no sweeps."""
+
+    def _mod(self, budget):
+        # shape-only dataset: 64 images stand in; the budget math uses n
+        imgs = np.zeros((64, 32, 32, 3), np.float32)
+        labs = np.zeros((64,), np.int32)
+        mod = LocalEquivScoreModule(
+            (imgs, labs), batch_size=256, bank_budget_bytes=budget
+        )
+        return mod
+
+    def test_misses_are_not_poisoned(self):
+        mod = self._mod(budget=0)
+        assert mod._bank(3) is None
+        assert 3 not in mod._bank_cache  # retried next call
+        mod.bank_budget_bytes = 1 << 30
+        assert mod._bank(3) is not None
+
+    def test_cumulative_budget(self):
+        # k=3 bank for 64 images: 64*900*(27+3+1)*4 bytes
+        k3 = 64 * 900 * 31 * 4
+        k5 = 64 * 784 * 79 * 4
+        mod = self._mod(budget=k3 + k5 // 2)
+        assert mod._bank(3) is not None  # fits
+        assert mod._bank(5) is None  # cumulative budget exceeded
+        assert mod._bank_bytes_used == k3
+
+    def test_50k_scale_fit_profile(self):
+        # at 50k CIFAR images with the 12 GiB default, k=3 caches (5.6 GB)
+        # and k=5 (12.4 GB) falls back to streaming — the profile the
+        # headline bench runs with
+        n, h, c = 50000, 32, 3
+        budget = 12 << 30
+        used = 0
+        fits = {}
+        for k in (3, 5, 7, 9):
+            per = (h - k + 1) ** 2
+            nbytes = n * per * (k * k * c + c + 1) * 4
+            fits[k] = used + nbytes <= budget
+            if fits[k]:
+                used += nbytes
+        assert fits[3] and not fits[5] and not fits[7] and not fits[9]
