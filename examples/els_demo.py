@@ -31,7 +31,14 @@ def main():
     p.add_argument("--nseeds", type=int, default=4)
     p.add_argument("--out", default="els_demo.png")
     p.add_argument("--scales", type=int, nargs="*", default=None)
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend")
     args = p.parse_args()
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
 
     from convolutional_diffusion_tpu import sampling
     from convolutional_diffusion_tpu.cli.common import load_model

@@ -20,7 +20,14 @@ def main():
     p.add_argument("--dataroot", default="./data")
     p.add_argument("--out", default="image_spectra.png")
     p.add_argument("--num_images", type=int, default=64)
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend")
     args = p.parse_args()
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
 
     from convolutional_diffusion_tpu.analysis.patch_statistics import (
         pairwise_distances,

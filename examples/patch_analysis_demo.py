@@ -17,7 +17,14 @@ def main():
     p.add_argument("--dataroot", default="./data")
     p.add_argument("--out", default="./results/patch_demo")
     p.add_argument("--num_samples", type=int, default=150)
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend")
     args = p.parse_args()
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
 
     from convolutional_diffusion_tpu.analysis.patch_statistics import (
         analyze_multiple_datasets,
