@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--dataroot", type=str, default="./data")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ndevices", type=int, default=0)
+    parser.add_argument("--export_torch", type=str, default=None,
+                        help="also export a reference-loadable torch "
+                             "state_dict .pt")
     parser.add_argument("--cpu", action="store_true", default=False,
                         help="force the CPU backend (the TPU platform is "
                              "pinned at config level; env vars cannot)")
@@ -110,6 +113,23 @@ def main(argv=None):
     save_checkpoint(ckpt_dir, params=params, opt_state=opt_state,
                     step=final_step, extra=meta_cfg)
     log(f"saved final checkpoint under {ckpt_dir}")
+    if args.export_torch:
+        from .. import convert
+
+        normal = None if args.nonorm else "GroupNorm"
+        p = params["params"] if isinstance(params, dict) and "params" in params else params
+        if args.resnet:
+            sd = convert.resnet_state_dict_from_params(
+                p, num_layers=args.layers, normalization=normal,
+                conditional=args.conditional,
+            )
+        else:
+            sd = convert.unet_state_dict_from_params(
+                params, n_feature_blocks=args.layers - 1,
+                normalization=normal, conditional=args.conditional,
+            )
+        convert.save_torch_state_dict(sd, args.export_torch)
+        log(f"exported torch state_dict to {args.export_torch}")
 
 
 if __name__ == "__main__":
