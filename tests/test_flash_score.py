@@ -159,3 +159,60 @@ def test_mxu1_requires_fast_mode():
             state, interpret=True, precision="highest", fast_exp=False,
             v_strategy="mxu1",
         )
+
+
+@pytest.mark.parametrize(
+    "M,P,d,c",
+    [
+        (8, 24, 12, 1),        # tiny everything
+        (300, 700, 128, 3),    # d exactly one lane tile; ragged M/P
+        (256, 512, 129, 3),    # d just over a tile boundary
+        (1025, 513, 27, 2),    # M/P just over block multiples
+        (64, 2048, 75, 4),     # wide bank, k=5-ish d
+    ],
+)
+def test_fuzz_shapes_interpret(M, P, d, c):
+    """Padding/blocking edges: kernel (interpret) == update_state exactly
+    up to fp tolerance for arbitrary (M, P, d, c)."""
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        NEG_INF,
+        flash_score_update,
+        state_from_pallas,
+    )
+    from convolutional_diffusion_tpu.scores.common import (
+        init_state,
+        update_state,
+    )
+
+    kq, kb, kw_ = jax.random.split(jax.random.PRNGKey(M * 7 + P), 3)
+    q = jax.random.normal(kq, (M, d))
+    qn = jnp.sum(q**2, -1)
+    bank = jax.random.normal(kb, (P, d))
+    pn = jnp.sum(bank**2, -1)
+    vals = bank[:, :c]
+    w = jax.random.uniform(kw_, (P,))
+    w = jnp.where(w < 0.2, 0.0, w)  # some excluded entries
+    at, bt = jnp.float32(0.85), jnp.float32(0.55)
+
+    m, s1, s2 = state_from_pallas(
+        *flash_score_update(
+            q, qn, bank, pn, vals, w, at, bt,
+            (jnp.full((M,), NEG_INF), jnp.zeros((M,)), jnp.zeros((M, c))),
+            interpret=True,
+        )
+    )
+    logits = -(qn[:, None] - 2 * at * (q @ bank.T) + at**2 * pn) / (2 * bt**2)
+    ref = update_state(init_state((M,), c), logits, w[None, :], vals)
+    # scale-aware tolerance (the framework parity target is 1e-3 on
+    # [-1,1]-scale pixels; the kernel's restructured arithmetic rounds
+    # differently from the jnp reference at ~1e-5 absolute)
+    ours = np.asarray(s2 / s1[:, None])
+    want = np.asarray(ref.s2 / ref.s1[:, None])
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(ours, want, atol=5e-5 * scale)
+    # m+log(s1) is offset-invariant: compare the true log-sum-exp
+    np.testing.assert_allclose(
+        np.asarray(m + jnp.log(s1)),
+        np.asarray(ref.m + jnp.log(ref.s1)),
+        rtol=1e-5, atol=1e-4,
+    )
