@@ -17,19 +17,13 @@ functional Flax. Semantics preserved:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .embedding import TimeClassEmbedding
-from .layers import (
-    DEFAULT_PRECISION,
-    GROUPNORM_EPS,
-    PaddedConv,
-    apply_norm,
-    make_norm,
-)
+from .layers import DEFAULT_PRECISION, PaddedConv, apply_norm, make_norm
 
 
 class UBlock(nn.Module):

@@ -32,7 +32,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .models.ddim import DiffusionModel
-from .parallel.mesh import data_spec, make_mesh
+from .parallel.mesh import data_spec
 from .sampling import q_sample
 from .utils import profiling
 
