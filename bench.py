@@ -113,8 +113,10 @@ def _els_machine(kind, n_train, batch_size, precision):
 def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
     """20-step machine over the FULL 50k-image bank with the repo's real
     CIFAR10 scales (8 distinct kernel sizes) — the reference els_script
-    workload (numiters over the whole training set). One timed machine call
-    on `batch` seeds (~minutes at this scale; iters=1, the per-call noise is
+    workload (numiters over the whole training set). One warmup machine call
+    (pays the 8 per-k jit variants — ~6 min cold on the remote-compile
+    tunnel, seconds when the persistent cache is hot) then one timed call on
+    `batch` seeds (~minutes of pure compute at this scale; per-call noise is
     negligible over a run this long)."""
     batch = batch or int(os.environ.get("BENCH_ELS_BATCH", 8))
     n_train = n_train or int(os.environ.get("BENCH_ELS_NTRAIN", 50000))
@@ -124,7 +126,7 @@ def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
     def run(x):
         return machine(x).sum()
 
-    dt, _ = time_fn(run, x, warmup=0, iters=1)
+    dt, _ = time_fn(run, x, warmup=1, iters=1)
     return batch / dt
 
 

@@ -204,6 +204,37 @@ def flash_score_update(
     P = bank.shape[0]
     c = values.shape[1]
 
+    if w.ndim == 2:
+        # Per-seed weights [S, P] (one label per seed — batched conditional
+        # generation): vmap the single-seed kernel over the seed axis. A
+        # per-seed bias ROW BlockSpec over an [S, Pp] array is rejected by
+        # the Mosaic lowering for S > 1 (the second-minor block would be 1,
+        # neither divisible by 8 nor equal to S); under vmap each inner
+        # call's bias is [1, Pp] (valid) and the batch becomes an extra
+        # leading grid dim. Bank traffic is unchanged — every (seed, query
+        # block) pair visits every bank block either way.
+        S = w.shape[0]
+        if rows_per_seed is None or M != S * rows_per_seed:
+            raise ValueError(
+                "2-D weights need rows_per_seed with M == S * rows_per_seed"
+            )
+        rps = rows_per_seed
+        m_, s1_, s2_ = jax.vmap(
+            lambda q_s, qn_s, w_s, st_s: flash_score_update(
+                q_s, qn_s, bank, pn, values, w_s, at, bt, st_s,
+                block_q=block_q, block_p=block_p, interpret=interpret,
+                precision=precision, v_strategy=v_strategy,
+                fast_exp=fast_exp,
+            ),
+            in_axes=(0, 0, 0, 0),
+        )(
+            q.reshape(S, rps, d),
+            qn.reshape(S, rps),
+            w,
+            (m0.reshape(S, rps), s10.reshape(S, rps), s20.reshape(S, rps, c)),
+        )
+        return m_.reshape(M), s1_.reshape(M), s2_.reshape(M, c)
+
     # measured on v5e: 1024x1024 blocks run ~13% faster than 256x512 for
     # large sweeps at small d; large patch dims must shrink blocks to fit
     # the q/k tiles + the [BQ, BP] logit/e tiles in ~16 MB of VMEM
@@ -211,20 +242,6 @@ def flash_score_update(
     big = 1024 if dp_est <= 256 else 256
     if block_q is None:
         block_q = max(256, min(big, _round_up(M, 256)))
-    if w.ndim == 2:
-        # per-seed weights [S, P]: every query block must see ONE seed's bias
-        # row, so block_q must divide rows_per_seed (= h*w per seed; the
-        # bias BlockSpec below maps block qi -> seed row qi*block_q//rps)
-        if rows_per_seed is None or M != w.shape[0] * rows_per_seed:
-            raise ValueError(
-                "2-D weights need rows_per_seed with M == S * rows_per_seed"
-            )
-        block_q = min(block_q, rows_per_seed)
-        if rows_per_seed % block_q or block_q % 8:
-            raise ValueError(
-                f"rows_per_seed={rows_per_seed} not tileable (block_q="
-                f"{block_q}); use the jnp path for this shape"
-            )
     if block_p is None:
         block_p = max(512, min(big, _round_up(P, 512)))
 
@@ -283,14 +300,8 @@ def flash_score_update(
         vp = jnp.zeros((Pp, cp), jnp.float32).at[:P, :c].set(values)
         v_block = (block_p, cp)
         v_index = lambda qi, pj: (pj, 0)
-    if w.ndim == 2:
-        S = w.shape[0]
-        biasp = jnp.full((S, Pp), NEG_INF, jnp.float32).at[:, :P].set(bias)
-        rps = rows_per_seed
-        bias_index = lambda qi, pj, bq=block_q, r=rps: (qi * bq // r, pj)
-    else:
-        biasp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(bias)
-        bias_index = lambda qi, pj: (0, pj)
+    biasp = jnp.full((1, Pp), NEG_INF, jnp.float32).at[0, :P].set(bias)
+    bias_index = lambda qi, pj: (0, pj)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
     s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)

@@ -1,0 +1,84 @@
+"""Compact chunked patch-bank storage for the banked ELS/bbELS fast path.
+
+A cached bank stored 2-D as ``[P, d]`` looks innocent but is layout-poisoned
+on TPU: T(8,128) tiling pads the minor d (27 for k=3, 75 for k=5) up to 128
+lanes — a hidden 1.7-4.7x HBM bloat — and building it with one
+`extract_patches` call materializes ``[n, hp, wp, d]``, which pads BOTH
+trailing dims (22.9 GB for the 50k-image k=5 CIFAR bank vs 11.8 GB of
+payload; the allocation that OOM'd the round-2 headline bench). Banks are
+therefore stored as flat per-chunk rows
+
+    bank    [nblk, B*d]     (B = images-per-chunk * patches-per-image)
+    centers [nblk, B*c]
+    pn      [nblk, B]
+
+— large minor dims tile exactly, so HBM cost == payload — built by a
+`lax.map` over flattened image chunks (no big padded intermediate ever
+exists) and reshaped back to ``[B, d]`` per block inside the consuming scan,
+a transient few-MB padded copy per step that XLA overlaps with compute.
+
+Bank rows are ordered image-major then patch-position (identical to
+reshaping the reference's unfold output, idealscore.py:447-450); images are
+zero-padded up to a whole chunk and excluded via zero weights, exactly like
+the former tail-padding-to-block-multiple scheme.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.patches import extract_patches, patch_centers
+
+
+class BankGeometry(NamedTuple):
+    per_img: int  # valid k x k positions per image
+    cs: int  # images per chunk
+    nblk: int  # number of chunks (images padded up to nblk * cs)
+    block: int  # patches per chunk = cs * per_img
+    d: int  # patch feature dim = k*k*c
+
+
+def bank_geometry(n: int, h: int, w: int, c: int, k: int, target_block: int) -> BankGeometry:
+    per_img = (h - k + 1) * (w - k + 1)
+    cs = max(1, target_block // max(per_img, 1))
+    nblk = -(-n // cs)
+    return BankGeometry(per_img, cs, nblk, cs * per_img, k * k * c)
+
+
+def bank_nbytes(n: int, h: int, w: int, c: int, k: int, target_block: int) -> int:
+    """True HBM cost of a cached bank (fp32, compact layout — the flat minor
+    dims tile exactly, so padding is <0.01% and ignored)."""
+    g = bank_geometry(n, h, w, c, k, target_block)
+    return g.nblk * g.block * (g.d + c + 1) * 4
+
+
+def build_bank(images: jnp.ndarray, k: int, target_block: int):
+    """images [n, h, w, c] -> (bank [nblk, B*d], centers [nblk, B*c],
+    pn [nblk, B]) on device, chunk-at-a-time (peak transient = one chunk's
+    padded [cs, hp, wp, d], a few MB)."""
+    n, h, w, c = images.shape
+    g = bank_geometry(n, h, w, c, k, target_block)
+    pad = g.nblk * g.cs - n
+
+    @jax.jit
+    def build(images):
+        flat = images.reshape(n, h * w * c)
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, h * w * c), images.dtype)]
+            )
+        chunks = flat.reshape(g.nblk, g.cs, h * w * c)
+
+        def one(chunk):
+            imgs = chunk.reshape(g.cs, h, w, c)
+            p = extract_patches(imgs, k).reshape(g.block, g.d)
+            ctr = patch_centers(p, k, c)
+            pn = jnp.sum(p**2, axis=-1)
+            return p.reshape(g.block * g.d), ctr.reshape(g.block * c), pn
+
+        return jax.lax.map(one, chunks)
+
+    return build(images)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import center_index, extract_patches, pad_image
+from .bank import bank_geometry, bank_nbytes, build_bank
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
@@ -56,7 +57,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         batch_size: int = 64,
         target_block: int = 8192,
         use_pallas: bool | None = None,
-        bank_budget_bytes: int = 12 << 30,
+        bank_budget_bytes: int = 8 << 30,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -79,33 +80,18 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
     def _center_bank(self, k: int):
         """Cached center-region bank: the interior windows are exactly the
         valid k x k patches of the (unpadded) training images, so the center
-        of bbELS shares the ELS bank layout. Padded to the block multiple at
-        build time; None when over the HBM budget."""
+        of bbELS shares the ELS bank layout — compact chunked storage
+        ([nblk, B*d] flat rows, scores.bank) so HBM cost equals payload.
+        None when over the HBM budget (not cached as a miss — budget may
+        free up later)."""
         if k in self._bank_cache:
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
-        per = (h - 2 * (k // 2)) * (w - 2 * (k // 2))
-        d = k * k * c
-        nbytes = n * per * (d + c + 1) * 4
+        nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
         if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
-            return None  # not cached as a miss — budget may free up later
+            return None
         self._bank_bytes_used += nbytes
-        B = self.target_block
-        ptot = n * per
-        padn = (-ptot) % B
-
-        @jax.jit
-        def build(images):
-            patches = extract_patches(images, k).reshape(ptot, d)
-            ctr = patches[..., center_index(k, c)]
-            pn = jnp.sum(patches**2, -1)
-            if padn:
-                patches = jnp.concatenate([patches, jnp.zeros((padn, d))])
-                ctr = jnp.concatenate([ctr, jnp.zeros((padn, c))])
-                pn = jnp.concatenate([pn, jnp.zeros((padn,))])
-            return patches, ctr, pn
-
-        self._bank_cache[k] = build(self.images)
+        self._bank_cache[k] = build_bank(self.images, k, self.target_block)
         return self._bank_cache[k]
 
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
@@ -341,20 +327,21 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
 
             # --- center via the cached bank (flash kernel / MXU scan) -----
             if center_banked:
+                # compact chunked layout [nblk, B*d] etc. (scores.bank);
+                # each step reshapes its own block back to [B, d]
                 bank, bank_ctr, bank_pn = bank_args
-                per = hc * wc
-                ptot = n * per
-                w_patch = jnp.repeat(w_img, per)
-                w_patch = jnp.concatenate(
-                    [w_patch, jnp.zeros((bank.shape[0] - ptot,), w_patch.dtype)]
+                g = bank_geometry(n, h, w, c, k, B)
+                per, Bc = g.per_img, g.block
+                pad_img = g.nblk * g.cs - n
+                w_imgp = (
+                    jnp.concatenate([w_img, jnp.zeros((pad_img,), w_img.dtype)])
+                    if pad_img
+                    else w_img
                 )
+                w_b = jnp.repeat(w_imgp, per).reshape(-1, Bc)
                 M = b * per
                 q_flat = q_center.reshape(M, d)
                 qn_flat = qn_center.reshape(M)
-                bank_b = bank.reshape(-1, B, d)
-                ctr_b = bank_ctr.reshape(-1, B, c)
-                pn_b = bank_pn.reshape(-1, B)
-                w_b = w_patch.reshape(-1, B)
                 if use_pallas:
                     from ..ops.flash_score import (
                         flash_score_update,
@@ -366,7 +353,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                         kb, vb, pnb, wb = blk
                         return (
                             flash_score_update(
-                                q_flat, qn_flat, kb, pnb, vb, wb, at, bt, st,
+                                q_flat, qn_flat, kb.reshape(Bc, d), pnb,
+                                vb.reshape(Bc, c), wb, at, bt, st,
                                 precision=precision,
                                 fast_exp=(precision != "highest"),
                             ),
@@ -378,20 +366,25 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                         jnp.zeros((M,), jnp.float32),
                         jnp.zeros((M, c), jnp.float32),
                     )
-                    st, _ = jax.lax.scan(cstep, st0, (bank_b, ctr_b, pn_b, w_b))
+                    st, _ = jax.lax.scan(cstep, st0, (bank, bank_ctr, bank_pn, w_b))
                     _, cs1, cs2 = state_from_pallas(*st)
                 else:
 
                     def cstep(st, blk):
                         kb, vb, pnb, wb = blk
-                        dots = jnp.einsum("qd,pd->qp", q_flat, kb, precision=HI)
+                        dots = jnp.einsum(
+                            "qd,pd->qp", q_flat, kb.reshape(Bc, d), precision=HI
+                        )
                         logits = (
                             -(qn_flat[:, None] - 2 * at * dots + at**2 * pnb) / beta2
                         )
-                        return update_state(st, logits, wb[None, :], vb), None
+                        return (
+                            update_state(st, logits, wb[None, :], vb.reshape(Bc, c)),
+                            None,
+                        )
 
                     st, _ = jax.lax.scan(
-                        cstep, init_state((M,), c), (bank_b, ctr_b, pn_b, w_b)
+                        cstep, init_state((M,), c), (bank, bank_ctr, bank_pn, w_b)
                     )
                     cs1, cs2 = st.s1, st.s2
                 mc = (cs2 / cs1[:, None]).reshape(b, hc, wc, c)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import extract_patches, pad_image, patch_centers
+from .bank import bank_geometry, bank_nbytes, build_bank
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
@@ -132,7 +133,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
         batch_size: int = 64,
         target_block: int = 8192,
         use_pallas: bool | None = None,
-        bank_budget_bytes: int = 12 << 30,
+        bank_budget_bytes: int = 8 << 30,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -144,8 +145,11 @@ class LocalEquivScoreModule(ScoreModuleBase):
         # (the sweep becomes pure MXU matmuls over bank blocks). The budget
         # is CUMULATIVE across kernel sizes — a 20-step scales schedule
         # touches up to 8 distinct k's and their banks would otherwise sum
-        # past HBM. Default 12 GiB: ELS is usually the sole tenant of a
-        # 16 GB v5e. Banks are stored fp32: bf16 storage would round patch
+        # past HBM. Default 8 GiB: at 50k-CIFAR scale this caches the k=3
+        # bank (5.58 GB) and streams the rest — the 12.39 GB k=5 bank fits
+        # a 16 GB v5e on paper but RESOURCE_EXHAUSTs at runtime next to the
+        # image set + per-call transients (measured, round 2). Banks are
+        # stored fp32: bf16 storage would round patch
         # values at 2^-9, which the 1/(2 beta^2) logit scaling amplifies to
         # ~19% posterior error at low noise — the same failure mode that
         # forces fp32 QK dots (PERFORMANCE.md). At 50k-image scale the
@@ -156,36 +160,20 @@ class LocalEquivScoreModule(ScoreModuleBase):
         self._bank_bytes_used = 0
 
     def _bank(self, k: int):
-        """(bank [P,d], centers [P,c], pn [P]) device arrays, or None if the
-        bank exceeds the remaining HBM budget (fall back to on-the-fly; NOT
-        cached as a miss — a later call may find budget, e.g. after the
-        caller raises bank_budget_bytes)."""
+        """(bank [nblk, B*d], centers [nblk, B*c], pn [nblk, B]) device
+        arrays in the compact chunked layout (scores.bank — a 2-D [P, d]
+        store would layout-pad d to 128 lanes, up to 4.7x hidden HBM bloat),
+        or None if the bank exceeds the remaining HBM budget (fall back to
+        on-the-fly; NOT cached as a miss — a later call may find budget,
+        e.g. after the caller raises bank_budget_bytes)."""
         if k in self._bank_cache:
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
-        per_img = (h - k + 1) * (w - k + 1)
-        d = k * k * c
-        nbytes = n * per_img * (d + c + 1) * 4
+        nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
         if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
             return None
         self._bank_bytes_used += nbytes
-
-        B = self.target_block
-        ptot = n * per_img
-        pad = (-ptot) % B
-
-        @jax.jit
-        def build(images):
-            patches = extract_patches(images, k).reshape(ptot, d)
-            centers = patch_centers(patches, k, c)
-            pn = jnp.sum(patches**2, -1)
-            if pad:  # pad once at build time (excluded via zero weights)
-                patches = jnp.concatenate([patches, jnp.zeros((pad, d))])
-                centers = jnp.concatenate([centers, jnp.zeros((pad, c))])
-                pn = jnp.concatenate([pn, jnp.zeros((pad,))])
-            return patches, centers, pn
-
-        self._bank_cache[k] = build(self.images)
+        self._bank_cache[k] = build_bank(self.images, k, self.target_block)
         return self._bank_cache[k]
 
     def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
@@ -199,17 +187,18 @@ class LocalEquivScoreModule(ScoreModuleBase):
         (each h*w-query block maps to its seed's row — zero per-pair cost)."""
         batch_size = self.batch_size
         max_samples = self.max_samples
-        B = self.target_block
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         n_img, h, w, c = self.images.shape
-        per_img = (h - k + 1) * (w - k + 1)
-        ptot = n_img * per_img
+        g = bank_geometry(n_img, h, w, c, k, self.target_block)
+        per_img, B, d = g.per_img, g.block, g.d
+        pad_img = g.nblk * g.cs - n_img
 
         def fn(bank, centers, pn, labels, order, x, lab, at, bt):
-            d = bank.shape[1]
-            pad_p = bank.shape[0] - ptot
+            # bank/centers/pn arrive in the compact chunked layout
+            # ([nblk, B*d] etc. — see scores.bank); each scan step below
+            # reshapes its own block back to [B, d] (a transient small copy)
 
             def weights_for(one_lab):
                 w_img = image_weights(
@@ -222,13 +211,14 @@ class LocalEquivScoreModule(ScoreModuleBase):
                     per_image_bank=per_img,
                     order=order,
                 )
-                w_patch = jnp.repeat(w_img, per_img)
-                return jnp.concatenate(
-                    [w_patch, jnp.zeros((pad_p,), w_patch.dtype)]
-                )
+                if pad_img:  # chunk-padding images get zero weight
+                    w_img = jnp.concatenate(
+                        [w_img, jnp.zeros((pad_img,), w_img.dtype)]
+                    )
+                return jnp.repeat(w_img, per_img)  # [nblk * B]
 
             if vector_label:
-                w_patch = jax.vmap(weights_for)(lab)  # [b, Pp_total]
+                w_patch = jax.vmap(weights_for)(lab)  # [b, nblk * B]
             else:
                 w_patch = weights_for(lab if has_label else None)
 
@@ -239,9 +229,6 @@ class LocalEquivScoreModule(ScoreModuleBase):
             xq_flat = xq.reshape(M, d)
             qn_flat = jnp.sum(xq_flat**2, axis=-1)
 
-            bank_b = bank.reshape(-1, B, d)
-            centers_b = centers.reshape(-1, B, c)
-            pn_b = pn.reshape(-1, B)
             w_b = (
                 w_patch.reshape(b, -1, B).transpose(1, 0, 2)  # [nblk, b, B]
                 if vector_label
@@ -260,7 +247,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
                     kb, vb, pnb, wb = blk
                     return (
                         flash_score_update(
-                            xq_flat, qn_flat, kb, pnb, vb, wb, at, bt, state,
+                            xq_flat, qn_flat, kb.reshape(B, d), pnb,
+                            vb.reshape(B, c), wb, at, bt, state,
                             precision=self.precision,
                             fast_exp=(self.precision != "highest"),
                             rows_per_seed=hw if vector_label else None,
@@ -274,13 +262,15 @@ class LocalEquivScoreModule(ScoreModuleBase):
                     jnp.zeros((M, c), jnp.float32),
                 )
                 state, _ = jax.lax.scan(
-                    step, state0, (bank_b, centers_b, pn_b, w_b)
+                    step, state0, (bank, centers, pn, w_b)
                 )
                 _, s1_, s2_ = state_from_pallas(*state)
             else:
 
                 def step(state, blk):
                     kb, vb, pnb, wb = blk
+                    kb = kb.reshape(B, d)
+                    vb = vb.reshape(B, c)
                     dots = jnp.einsum(
                         "qd,pd->qp", xq_flat, kb,
                         precision=jax.lax.Precision.HIGHEST,
@@ -293,7 +283,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                     return update_state(state, logits, wb[None, :], vb), None
 
                 state, _ = jax.lax.scan(
-                    step, init_state((M,), c), (bank_b, centers_b, pn_b, w_b)
+                    step, init_state((M,), c), (bank, centers, pn, w_b)
                 )
                 s1_, s2_ = state.s1, state.s2
 
