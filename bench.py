@@ -201,6 +201,7 @@ def main():
     t_start = time.perf_counter()
     for kind, precision, tag in (
         ("ELS", "highest", "els_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "high", "els_20step_50kbank_images_per_sec_bf16x3"),
         ("ELS", "default", "els_20step_50kbank_images_per_sec_fast"),
         ("bbELS", "highest", "bbels_20step_50kbank_images_per_sec_fp32"),
     ):

@@ -55,8 +55,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--fmt", type=str, default="npy", choices=["npy", "pt"])
     parser.add_argument("--precision", type=str, default="highest",
-                        choices=["highest", "default"],
-                        help="'default' = bf16 MXU fast mode (~3e-3 rel err)")
+                        choices=["highest", "high", "default"],
+                        help="'high' = bf16x3 dots (~2x faster at large k, "
+                             "near-parity); 'default' = bf16 fast mode "
+                             "(~3e-3 rel err)")
     parser.add_argument("--ndevices", type=int, default=1,
                         help=">1 shards the training set over a device mesh "
                              "(ELS/bbELS; partial softmax states merge over ICI)")

@@ -61,11 +61,14 @@ def _kernel(
 
     dotscale = scale_ref[0, 0]  # (2 a_t / (2 beta_t^2)) * log2(e)
 
-    if fast_exp and precision != jax.lax.Precision.HIGHEST:
+    if precision != jax.lax.Precision.HIGHEST:
         # manual bf16x3 (the 'HIGH' algorithm — Mosaic kernels only expose
         # DEFAULT/HIGHEST): split into hi/lo bf16 parts; error ~2^-16 rel,
         # harmless even under the 1/(2 beta) logit amplification, at half
-        # the MXU passes of HIGHEST.
+        # the MXU passes of HIGHEST. Used by BOTH the 'high' middle tier
+        # (bf16x3 dots + fp32 elementwise) and 'default' fast mode (bf16x3
+        # dots + bf16 exp) — a pure-bf16 dot is never emitted: the logit
+        # scaling amplifies its 2^-9 rounding to ~19% posterior error.
         q = q_ref[:, :]
         kt = k_ref[:, :].T
         qh = q.astype(jnp.bfloat16)
@@ -80,7 +83,7 @@ def _kernel(
     else:
         dots = jnp.dot(
             q_ref[:, :], k_ref[:, :].T, preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [BQ, BP]
     # The per-pair logit assembly is ONE fma: everything per-patch — the
     # -a_t^2 ||p||^2 / (2 beta^2) term AND the log-space weight (log2 w, or
@@ -178,9 +181,13 @@ def flash_score_update(
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
 
-    precision='highest' keeps the MXU dots at fp32 (the <1e-3 parity
-    configuration); 'default' allows bf16 inputs for ~5x more MXU throughput
-    at ~3e-3 relative error on the posterior means.
+    precision ladder:
+      'highest' — fp32 6-pass MXU dots + fp32 elementwise (the <1e-3
+        torch-parity configuration);
+      'high'    — bf16x3 3-pass dots (~2^-16 rel dot error) + fp32
+        elementwise: ~2x the dot throughput of 'highest' at near-parity;
+      'default' — bf16x3 dots + bf16 exp elementwise (fast_exp), ~3e-3
+        relative error on posterior means.
 
     v_strategy: 'mxu' computes e @ V on the MXU (V lane-padded to 128 — a
     128/c waste for image channels); 'vpu' accumulates the c channels as
@@ -190,7 +197,7 @@ def flash_score_update(
     (the MXU is nearly idle at small d, so this rides free capacity);
     'auto' picks 'vpu' when c <= 8.
 
-    fast_exp (default: precision != 'highest'): bf16 exp/mask elementwise —
+    fast_exp (default: precision == 'default'): bf16 exp/mask elementwise —
     the VPU-bound part — with fp32 reductions (~1% posterior-mean error at
     sharp softmax temperatures, ~2x faster). NOTE: the QK dot itself should
     stay 'highest' in diffusion score machines — at low noise the logits are
@@ -251,7 +258,7 @@ def flash_score_update(
     cp = _round_up(c, 128)
 
     if fast_exp is None:
-        fast_exp = precision != "highest"
+        fast_exp = precision == "default"
     if v_strategy == "auto":
         v_strategy = "vpu" if c <= 8 else "mxu"
     if v_strategy == "mxu1":

@@ -53,9 +53,15 @@ class ScoreModuleBase:
         shuffle_key=None,
         **_unused,
     ):
-        """precision: 'highest' (fp32 MXU passes — the <1e-3 torch-parity
-        configuration) or 'default' (bf16 MXU inputs, ~3e-3 relative error on
-        posterior means, up to ~5x faster dots).
+        """precision ladder:
+          'highest' — fp32 MXU passes throughout (the <1e-3 torch-parity
+            configuration);
+          'high' — bf16x3 3-pass dots (~2^-16 relative dot error) with fp32
+            elementwise/reductions: ~2x the dot throughput of 'highest' at
+            near-parity (the win concentrates at large k where the MXU
+            dominates);
+          'default' — bf16x3 dots plus bf16 exp elementwise (fast mode),
+            ~3e-3 relative error on posterior means.
 
         shuffle: stream the dataset in a fresh random order on every call,
         mirroring the reference DataLoader's shuffle=True (a new permutation
@@ -78,11 +84,17 @@ class ScoreModuleBase:
         self.schedule = schedule
         self.max_samples = max_samples
         self.precision = precision
-        self.prec = (
-            jax.lax.Precision.HIGHEST
-            if precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        )
+        try:
+            self.prec = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,  # bf16x3, ~2^-16 rel error
+                "default": jax.lax.Precision.DEFAULT,
+            }[precision]
+        except KeyError:
+            raise ValueError(
+                f"precision must be 'highest', 'high' or 'default', got "
+                f"{precision!r}"
+            ) from None
         # compute-chunk size (images per scan step); reference semantics are
         # keyed to `batch_size`, so weights are computed per reference batch
         # regardless of the compute chunk.

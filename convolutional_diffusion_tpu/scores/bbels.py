@@ -138,7 +138,14 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        HI = self.prec  # dot precision for the region einsums
+        # dot precision for the region einsums: dots are never pure bf16
+        # (the 1/(2 beta) logit scaling amplifies bf16 rounding to ~19%
+        # posterior error at low noise) — fast mode uses bf16x3 (HIGH)
+        HI = (
+            jax.lax.Precision.HIGH
+            if self.precision == "default"
+            else self.prec
+        )
         precision = self.precision
         # dataset sharding (set by parallel.ShardedLocalEquivBordersScoreModule)
         mesh = getattr(self, "mesh", None)
@@ -356,7 +363,7 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                                 q_flat, qn_flat, kb.reshape(Bc, d), pnb,
                                 vb.reshape(Bc, c), wb, at, bt, st,
                                 precision=precision,
-                                fast_exp=(precision != "highest"),
+                                fast_exp=(precision == "default"),
                             ),
                             None,
                         )

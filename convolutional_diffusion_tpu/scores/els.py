@@ -79,11 +79,12 @@ def els_sweep(
             return (
                 flash_score_update(
                     xq_flat, qn_flat, patches, pn, centers, w_p, at, bt, state,
-                    # keep the QK dot fp32 even in fast mode (low-noise logits
-                    # amplify dot error by 1/(2 beta)); bf16 only for the
-                    # VPU-bound exp/elementwise
+                    # precision ladder: 'highest' fp32 dots; 'high' bf16x3
+                    # dots + fp32 elementwise; 'default' adds bf16 exp for
+                    # the VPU-bound elementwise (never pure-bf16 dots — the
+                    # 1/(2 beta) logit scaling amplifies their rounding)
                     precision=precision,
-                    fast_exp=(precision != "highest"),
+                    fast_exp=(precision == "default"),
                 ),
                 None,
             )
@@ -250,7 +251,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
                             xq_flat, qn_flat, kb.reshape(B, d), pnb,
                             vb.reshape(B, c), wb, at, bt, state,
                             precision=self.precision,
-                            fast_exp=(self.precision != "highest"),
+                            fast_exp=(self.precision == "default"),
                             rows_per_seed=hw if vector_label else None,
                         ),
                         None,

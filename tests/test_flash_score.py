@@ -216,3 +216,42 @@ def test_fuzz_shapes_interpret(M, P, d, c):
         np.asarray(ref.m + jnp.log(ref.s1)),
         rtol=1e-5, atol=1e-4,
     )
+
+
+def test_high_precision_tier():
+    """'high' = bf16x3 3-pass dots + fp32 elementwise: a middle tier whose
+    posterior means stay within ~1e-4 of 'highest' (vs ~3e-3 for fast mode),
+    and whose fast_exp default is OFF (bf16 exp is 'default'-only)."""
+    M, d, P, c = 128, 75, 512, 3
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    w = jnp.full((P,), 1.0 / P, jnp.float32)
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.9), jnp.float32(jnp.sqrt(1 - 0.81))
+    st = state_to_pallas(
+        jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c))
+    )
+    outs = {}
+    for prec in ("highest", "high"):
+        m, s1, s2 = flash_score_update(
+            q, qn, bank, pn, values, w, at, bt, st,
+            block_q=64, block_p=128, interpret=True, precision=prec,
+        )
+        outs[prec] = np.asarray(s2 / s1[:, None])
+    scale = np.max(np.abs(outs["highest"]))
+    dev = np.max(np.abs(outs["high"] - outs["highest"])) / scale
+    assert dev < 1e-4, dev
+
+
+def test_base_precision_ladder_validation():
+    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+
+    imgs = np.zeros((4, 8, 8, 3), np.float32)
+    labs = np.zeros((4,), np.int32)
+    m = LocalEquivScoreModule((imgs, labs), precision="high")
+    assert m.prec == jax.lax.Precision.HIGH
+    with pytest.raises(ValueError, match="precision"):
+        LocalEquivScoreModule((imgs, labs), precision="bf16")

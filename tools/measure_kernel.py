@@ -48,6 +48,7 @@ def main():
 
         configs = [
             ("fp32_vpu", dict(precision="highest", fast_exp=False, v_strategy="vpu")),
+            ("high_vpu", dict(precision="high", fast_exp=False, v_strategy="vpu")),
             ("fast_vpu", dict(precision="default", fast_exp=True, v_strategy="vpu")),
             ("fast_mxu1", dict(precision="default", fast_exp=True, v_strategy="mxu1")),
         ]
