@@ -195,7 +195,10 @@ def flash_score_update(
     'mxu1' (fast mode only) fuses s1 INTO the MXU dot via a ones column —
     e @ [V|1] in bf16 — removing all per-channel VPU accumulation passes
     (the MXU is nearly idle at small d, so this rides free capacity);
-    'auto' picks 'vpu' when c <= 8.
+    'auto' picks 'mxu1' for fast-mode sweeps of P >= 2^18 patches (below
+    that the per-call [V|1] lane-padding build outweighs the kernel win —
+    measured -6% end-to-end in the machines' ~16k-patch chunked scans)
+    and otherwise 'vpu' when c <= 8.
 
     fast_exp (default: precision == 'default'): bf16 exp/mask elementwise —
     the VPU-bound part — with fp32 reductions (~1% posterior-mean error at
@@ -260,7 +263,16 @@ def flash_score_update(
     if fast_exp is None:
         fast_exp = precision == "default"
     if v_strategy == "auto":
-        v_strategy = "vpu" if c <= 8 else "mxu"
+        if fast_exp and c + 1 <= 128 and P >= (1 << 18):
+            # mxu1 measures +9-28% over vpu on big single sweeps (1M-patch
+            # microbench), but building its lane-padded bf16 [V|1] costs
+            # 128/c ~ 42x the V payload in HBM writes PER CALL — in the
+            # machines' ~16k-patch chunked scans that overhead flips the
+            # sign (measured -6% end-to-end at 50k). Amortized only when
+            # one call sweeps a big bank.
+            v_strategy = "mxu1"
+        else:
+            v_strategy = "vpu" if c <= 8 else "mxu"
     if v_strategy == "mxu1":
         if not fast_exp:
             raise ValueError(
