@@ -102,7 +102,8 @@ def _els_machine(kind, n_train, batch_size, precision):
     ds = synthetic_dataset(num_samples=n_train, image_size=32, num_channels=3)
     cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
     mod = cls(
-        (ds.images, ds.labels), batch_size=batch_size, target_block=16384,
+        (ds.images, ds.labels), batch_size=batch_size,
+        target_block=int(os.environ.get("BENCH_ELS_BLOCK", 16384)),
         precision=precision,
     )
     return ScheduledScoreMachine(

@@ -146,8 +146,17 @@ def _kernel(
         s2_ref[:, :] = s2_acc
     else:
         v = v_ref[:, :].astype(jnp.bfloat16) if fast else v_ref[:, :]
+        # Mosaic only lowers DEFAULT/HIGHEST dots — clamp the 'high' tier's
+        # enum to HIGHEST here (fp32 operands; the e @ V accumulation is not
+        # the tier's bottleneck, the QK dot above is, and that one uses the
+        # manual bf16x3 split)
+        ev_prec = (
+            jax.lax.Precision.HIGHEST
+            if precision == jax.lax.Precision.HIGH
+            else precision
+        )
         s2_ref[:, :] = s2_ref[:, :] * scale + jnp.dot(
-            e, v, preferred_element_type=jnp.float32, precision=precision
+            e, v, preferred_element_type=jnp.float32, precision=ev_prec
         )
     m_ref[:, :] = m_new
 

@@ -80,6 +80,7 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        precision = self.precision
 
         def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
@@ -119,6 +120,7 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
                     images_s, w_s, xq_flat, qn_flat, at, bt,
                     k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
                     use_pallas=use_pallas,
+                    precision=precision,
                 )
                 m, s1, s2 = merge_collective(m, s1, s2, axis)
                 return s1, s2

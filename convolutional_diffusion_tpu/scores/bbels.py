@@ -125,9 +125,10 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         )
 
     def _chunk_images(self, k: int) -> int:
-        h = self.images.shape[1]
-        per_img = (h - 2 * (k // 2)) ** 2
-        return max(1, self.target_block // max(per_img, 1))
+        # (h - 2*(k//2))^2 interior positions == (h-k+1)^2 for odd k, the
+        # only k this module admits — share bank_geometry's chunking
+        n, h, w, c = self.images.shape
+        return bank_geometry(n, h, w, c, k, self.target_block).cs
 
     def _build(self, *, k: int, x_shape, has_label: bool, center_banked: bool = False):
         batch_size = self.batch_size

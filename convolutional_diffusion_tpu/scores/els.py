@@ -347,10 +347,11 @@ class LocalEquivScoreModule(ScoreModuleBase):
         )
 
     def _chunk_images(self, k: int) -> int:
-        """Images per scan step so the patch block stays ~target_block."""
-        h = self.images.shape[1]
-        per_img = (h - k + 1) * (self.images.shape[2] - k + 1)
-        return max(1, self.target_block // max(per_img, 1))
+        """Images per scan step so the patch block stays ~target_block
+        (single source of truth: bank_geometry, so the streaming chunking
+        always matches the cached-bank layout)."""
+        n, h, w, c = self.images.shape
+        return bank_geometry(n, h, w, c, k, self.target_block).cs
 
     def _build(self, *, k: int, x_shape, has_label: bool):
         batch_size = self.batch_size

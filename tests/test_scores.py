@@ -309,9 +309,10 @@ class TestBankBudgetAccounting:
         # flat [nblk, B*d]/[nblk, B*c]/[nblk, B] rows tile exactly (a 2-D
         # [P, d=27] store would pad 27 -> 128 lanes, a silent 4.7x bloat —
         # the round-2 50k-bank OOM)
-        from convolutional_diffusion_tpu.scores.bank import bank_nbytes
-
-        from convolutional_diffusion_tpu.scores.bank import bank_geometry
+        from convolutional_diffusion_tpu.scores.bank import (
+            bank_geometry,
+            bank_nbytes,
+        )
 
         mod = self._mod(budget=1 << 30)
         bank, ctr, pn = mod._bank(3)
