@@ -103,7 +103,7 @@ def _els_machine(kind, n_train, batch_size, precision):
     cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
     mod = cls(
         (ds.images, ds.labels), batch_size=batch_size,
-        target_block=int(os.environ.get("BENCH_ELS_BLOCK", 16384)),
+        target_block=int(os.environ.get("BENCH_ELS_BLOCK", 65536)),
         precision=precision,
     )
     return ScheduledScoreMachine(

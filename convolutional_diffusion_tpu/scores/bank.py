@@ -43,7 +43,10 @@ class BankGeometry(NamedTuple):
 
 def bank_geometry(n: int, h: int, w: int, c: int, k: int, target_block: int) -> BankGeometry:
     per_img = (h - k + 1) * (w - k + 1)
-    cs = max(1, target_block // max(per_img, 1))
+    # clamp the chunk to the dataset: a target_block larger than the whole
+    # bank would otherwise zero-pad the single chunk up to the block size
+    # (wasted sweep compute on small/test datasets)
+    cs = max(1, min(target_block // max(per_img, 1), n))
     nblk = -(-n // cs)
     return BankGeometry(per_img, cs, nblk, cs * per_img, k * k * c)
 

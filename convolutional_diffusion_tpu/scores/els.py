@@ -132,7 +132,7 @@ class LocalEquivScoreModule(ScoreModuleBase):
         dataset,
         *,
         batch_size: int = 64,
-        target_block: int = 8192,
+        target_block: int = 65536,
         use_pallas: bool | None = None,
         bank_budget_bytes: int = 8 << 30,
         **kw,

@@ -296,9 +296,11 @@ class TestBankBudgetAccounting:
     def test_cumulative_budget(self):
         from convolutional_diffusion_tpu.scores.bank import bank_nbytes
 
-        # exact compact-layout cost (images padded to whole chunks)
-        k3 = bank_nbytes(64, 32, 32, 3, 3, 8192)
-        k5 = bank_nbytes(64, 32, 32, 3, 5, 8192)
+        # exact compact-layout cost (images padded to whole chunks), at the
+        # module's own target_block
+        tb = self._mod(budget=0).target_block
+        k3 = bank_nbytes(64, 32, 32, 3, 3, tb)
+        k5 = bank_nbytes(64, 32, 32, 3, 5, tb)
         mod = self._mod(budget=k3 + k5 // 2)
         assert mod._bank(3) is not None  # fits
         assert mod._bank(5) is None  # cumulative budget exceeded
