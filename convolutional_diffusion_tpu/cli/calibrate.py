@@ -59,6 +59,12 @@ def main(argv=None):
         modelpath = os.path.join(args.tld, args.modelfile)
     model, params = load_model(modelpath)
 
+    # ONE bank ledger across the per-k module fleet: with per-module
+    # budgets, each k would cache its own bank — at maxsamps=5000 the eight
+    # ELS banks sum to ~23 GB and exhaust a 16 GB chip (scores.bank)
+    from ..scores.bank import BankLedger
+
+    ledger = BankLedger(8 << 30)
     mods = {
         k: build_score_module(
             args.scoremoduletype,
@@ -68,6 +74,7 @@ def main(argv=None):
             channels=metadata["num_channels"],
             schedule=cosine_noise_schedule,
             kernel_size=k,
+            bank_ledger=ledger,
         )
         for k in args.kernelsizes
     }

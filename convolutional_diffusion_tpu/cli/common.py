@@ -142,7 +142,8 @@ def model_config_meta(backbone, in_channels: int, imsize: int) -> str:
 def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
                        image_size: int, channels: int, schedule,
                        max_samples: Optional[int] = None, kernel_size: int = 3,
-                       precision: str = "highest", shuffle: bool = False):
+                       precision: str = "highest", shuffle: bool = False,
+                       bank_ledger=None):
     """Score-module factory matching els_script.py:69-96 / calibration
     :91-117 (LS and IS get batch_size=len(dataset) there). `shuffle` reaches
     only the ELS module, exactly like the reference els_script (its --shuffle
@@ -161,12 +162,14 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision, shuffle=shuffle,
+            bank_ledger=bank_ledger,
         )
     if kind == "bbELS":
         return LocalEquivBordersScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision,
+            bank_ledger=bank_ledger,
         )
     if kind == "LS":
         return LocalScoreModule(

@@ -33,6 +33,27 @@ import jax.numpy as jnp
 from ..ops.patches import extract_patches, patch_centers
 
 
+class BankLedger:
+    """Shared HBM budget for cached banks ACROSS score modules.
+
+    The calibration flow builds one module per candidate k (cli/calibrate,
+    reference scales_calibration.py:91-117); with per-module budgets each
+    would happily cache its own bank — at maxsamps=5000 the eight k=3..17
+    ELS banks sum to ~23 GB and exhaust a 16 GB chip. Pass one ledger to
+    every module so the cumulative-budget rule the modules already apply
+    per-instance holds fleet-wide."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.used = 0
+
+    def try_reserve(self, nbytes: int) -> bool:
+        if self.used + nbytes > self.budget:
+            return False
+        self.used += nbytes
+        return True
+
+
 class BankGeometry(NamedTuple):
     per_img: int  # valid k x k positions per image
     cs: int  # images per chunk

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import center_index, extract_patches, pad_image
-from .bank import bank_geometry, bank_nbytes, build_bank
+from .bank import BankLedger, bank_geometry, bank_nbytes, build_bank
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
@@ -58,15 +58,19 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         target_block: int = 65536,
         use_pallas: bool | None = None,
         bank_budget_bytes: int = 8 << 30,
+        bank_ledger=None,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
         self.target_block = target_block
         self.use_pallas = use_pallas
-        # cumulative across kernel sizes (see els.py note)
-        self.bank_budget_bytes = bank_budget_bytes
+        # cumulative across kernel sizes AND, via a shared BankLedger,
+        # across modules (see els.py / scores.bank notes)
+        self.bank_ledger = (
+            bank_ledger if bank_ledger is not None
+            else BankLedger(bank_budget_bytes)
+        )
         self._bank_cache = {}
-        self._bank_bytes_used = 0
         self._local_fallback = LocalScoreModule(
             dataset,
             kernel_size=self.kernel_size,
@@ -76,6 +80,19 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             precision=self.precision,
             shuffle_key=self._shuffle_key,
         )
+
+    # back-compat accessors (see els.py)
+    @property
+    def bank_budget_bytes(self) -> int:
+        return self.bank_ledger.budget
+
+    @bank_budget_bytes.setter
+    def bank_budget_bytes(self, v: int) -> None:
+        self.bank_ledger.budget = v
+
+    @property
+    def _bank_bytes_used(self) -> int:
+        return self.bank_ledger.used
 
     def _center_bank(self, k: int):
         """Cached center-region bank: the interior windows are exactly the
@@ -88,9 +105,8 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
         nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
-        if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
+        if not self.bank_ledger.try_reserve(nbytes):
             return None
-        self._bank_bytes_used += nbytes
         self._bank_cache[k] = build_bank(self.images, k, self.target_block)
         return self._bank_cache[k]
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import extract_patches, pad_image, patch_centers
-from .bank import bank_geometry, bank_nbytes, build_bank
+from .bank import BankLedger, bank_geometry, bank_nbytes, build_bank
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
@@ -135,11 +135,20 @@ class LocalEquivScoreModule(ScoreModuleBase):
         target_block: int = 65536,
         use_pallas: bool | None = None,
         bank_budget_bytes: int = 8 << 30,
+        bank_ledger=None,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
         self.target_block = target_block
         self.use_pallas = use_pallas
+        # bank_ledger: pass ONE BankLedger to several modules (e.g. the
+        # per-k calibration fleet) so the budget caps their cached banks
+        # cumulatively; by default each module gets its own ledger of
+        # bank_budget_bytes.
+        self.bank_ledger = (
+            bank_ledger if bank_ledger is not None
+            else BankLedger(bank_budget_bytes)
+        )
         # Patch banks are immutable per (k, dataset): cache the extracted
         # [P_total, d] bank in HBM when it fits the budget, so extraction
         # amortizes to zero across ScheduledScoreMachine steps and samples
@@ -156,9 +165,20 @@ class LocalEquivScoreModule(ScoreModuleBase):
         # forces fp32 QK dots (PERFORMANCE.md). At 50k-image scale the
         # uncached path's on-the-fly extraction is amortized to noise by the
         # per-sweep softmax work anyway.
-        self.bank_budget_bytes = bank_budget_bytes
         self._bank_cache = {}
-        self._bank_bytes_used = 0
+
+    # back-compat accessors (tests/tools tune the budget post-construction)
+    @property
+    def bank_budget_bytes(self) -> int:
+        return self.bank_ledger.budget
+
+    @bank_budget_bytes.setter
+    def bank_budget_bytes(self, v: int) -> None:
+        self.bank_ledger.budget = v
+
+    @property
+    def _bank_bytes_used(self) -> int:
+        return self.bank_ledger.used
 
     def _bank(self, k: int):
         """(bank [nblk, B*d], centers [nblk, B*c], pn [nblk, B]) device
@@ -171,9 +191,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
         nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
-        if self._bank_bytes_used + nbytes > self.bank_budget_bytes:
+        if not self.bank_ledger.try_reserve(nbytes):
             return None
-        self._bank_bytes_used += nbytes
         self._bank_cache[k] = build_bank(self.images, k, self.target_block)
         return self._bank_cache[k]
 

@@ -347,3 +347,31 @@ class TestBankBudgetAccounting:
         # and the cached k=3 bank leaves ample headroom on a 16 GB chip
         # next to the 0.61 GB image set
         assert used + 50000 * h * h * c * 4 < 7 << 30
+
+    def test_chunk_clamped_to_dataset(self):
+        # a target_block larger than the whole bank must not zero-pad the
+        # single chunk up to the block (wasted sweep compute on small sets)
+        from convolutional_diffusion_tpu.scores.bank import bank_geometry
+
+        g = bank_geometry(4, 12, 12, 3, 3, 65536)
+        assert g.cs == 4 and g.nblk == 1 and g.block == 4 * 100
+
+    def test_shared_ledger_across_modules(self):
+        # the calibration fleet passes ONE ledger to all per-k modules so
+        # cached banks are capped cumulatively across instances (at
+        # maxsamps=5000 the eight per-k ELS banks would otherwise sum to
+        # ~23 GB on a 16 GB chip)
+        from convolutional_diffusion_tpu.scores.bank import (
+            BankLedger,
+            bank_nbytes,
+        )
+
+        imgs = np.zeros((64, 32, 32, 3), np.float32)
+        labs = np.zeros((64,), np.int32)
+        k3 = bank_nbytes(64, 32, 32, 3, 3, 65536)
+        ledger = BankLedger(k3)
+        m1 = LocalEquivScoreModule((imgs, labs), bank_ledger=ledger)
+        m2 = LocalEquivScoreModule((imgs, labs), bank_ledger=ledger)
+        assert m1._bank(3) is not None
+        assert m2._bank(3) is None  # fleet budget exhausted by m1
+        assert m1._bank_bytes_used == m2._bank_bytes_used == k3
