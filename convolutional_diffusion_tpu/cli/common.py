@@ -143,7 +143,7 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
                        image_size: int, channels: int, schedule,
                        max_samples: Optional[int] = None, kernel_size: int = 3,
                        precision: str = "highest", shuffle: bool = False,
-                       bank_ledger=None):
+                       bank_ledger=None, target_block: int | None = None):
     """Score-module factory matching els_script.py:69-96 / calibration
     :91-117 (LS and IS get batch_size=len(dataset) there). `shuffle` reaches
     only the ELS module, exactly like the reference els_script (its --shuffle
@@ -157,19 +157,20 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
     )
 
     n = len(dataset_tuple[0])
+    blk = {} if target_block is None else {"target_block": target_block}
     if kind == "ELS":
         return LocalEquivScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision, shuffle=shuffle,
-            bank_ledger=bank_ledger,
+            bank_ledger=bank_ledger, **blk,
         )
     if kind == "bbELS":
         return LocalEquivBordersScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision,
-            bank_ledger=bank_ledger,
+            bank_ledger=bank_ledger, **blk,
         )
     if kind == "LS":
         return LocalScoreModule(

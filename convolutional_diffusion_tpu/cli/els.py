@@ -59,6 +59,9 @@ def main(argv=None):
                         help="'high' = bf16x3 dots (~2x faster at large k, "
                              "near-parity); 'default' = bf16 fast mode "
                              "(~3e-3 rel err)")
+    parser.add_argument("--target_block", type=int, default=None,
+                        help="patches per sweep chunk (default 65536; the "
+                             "kernel-occupancy knob, PERFORMANCE.md)")
     parser.add_argument("--ndevices", type=int, default=1,
                         help=">1 shards the training set over a device mesh "
                              "(ELS/bbELS; partial softmax states merge over ICI)")
@@ -103,6 +106,8 @@ def main(argv=None):
             schedule=cosine_noise_schedule, max_samples=args.max_samples,
             precision=args.precision,
             shuffle=(args.shuffle and args.scoremoduletype == "ELS"),
+            **({} if args.target_block is None
+               else {"target_block": args.target_block}),
         )
     else:
         mod = build_score_module(
@@ -115,6 +120,7 @@ def main(argv=None):
             max_samples=args.max_samples,
             precision=args.precision,
             shuffle=args.shuffle,
+            target_block=args.target_block,
         )
 
     scalesfile = args.scalesfile or auto_detect_scales(
