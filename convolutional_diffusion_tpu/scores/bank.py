@@ -53,6 +53,12 @@ class BankLedger:
         self.used += nbytes
         return True
 
+    def release(self, nbytes: int) -> None:
+        """Roll back a reservation whose build failed (e.g. a runtime
+        RESOURCE_EXHAUSTED near the budget edge) so retries and sibling
+        modules on a shared ledger are not starved by phantom bytes."""
+        self.used = max(0, self.used - nbytes)
+
 
 class BankGeometry(NamedTuple):
     per_img: int  # valid k x k positions per image

@@ -72,11 +72,20 @@ class ScoreModuleBase:
         results via batch composition (mean denominators, label/max_samples
         cutoff subsets); see common.image_weights."""
         images, labels = dataset
-        images = jnp.asarray(np.asarray(images), jnp.float32)
+        if isinstance(images, jax.Array):
+            # already on device (e.g. a module sharing another's arrays):
+            # keep it — np.asarray would force a D2H + H2D roundtrip
+            images = jnp.asarray(images, jnp.float32)
+        else:
+            images = jnp.asarray(np.asarray(images), jnp.float32)
         if images.ndim != 4:
             raise ValueError("dataset images must be [N, h, w, c] (NHWC)")
         self.images = images
-        self.labels = jnp.asarray(np.asarray(labels), jnp.int32)
+        self.labels = (
+            jnp.asarray(labels, jnp.int32)
+            if isinstance(labels, jax.Array)
+            else jnp.asarray(np.asarray(labels), jnp.int32)
+        )
         self.kernel_size = kernel_size
         self.batch_size = batch_size
         self.image_size = image_size or images.shape[1]
@@ -124,16 +133,31 @@ class ScoreModuleBase:
         raise NotImplementedError
 
     # -- public --------------------------------------------------------------
+    # whole-image modules (IdealScore) override this to False: they accept
+    # any k like the reference's **kwargs forward and share one jit entry
+    uses_kernel_size = True
+
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
         del device  # reference-API compatibility; placement is XLA's concern
         if k is None:
             k = self.kernel_size
-        k = int(k)
-        if k % 2 == 0 or k < 1:
+        if not self.uses_kernel_size:
+            k = 0  # ignored by _build; one jit-cache entry for every k
+        else:
+            k = int(k)
+            if k % 2 == 0 or k < 1:
+                raise ValueError(
+                    f"kernel size must be odd and positive, got {k} (the k//2 "
+                    "window padding assumes a center pixel; the reference's "
+                    "calibrated scales are all odd)"
+                )
+        if label is not None and np.ndim(label) >= 1 and not getattr(
+            self, "supports_vector_label", False
+        ):
             raise ValueError(
-                f"kernel size must be odd and positive, got {k} (the k//2 "
-                "window padding assumes a center pixel; the reference's "
-                "calibrated scales are all odd)"
+                f"{type(self).__name__} takes a scalar label per call; only "
+                "LocalEquivScoreModule evaluates per-seed label vectors in "
+                "one sweep — group seeds by label for the other modules"
             )
         x = jnp.asarray(x, jnp.float32)
         t = _as_scalar_t(t)

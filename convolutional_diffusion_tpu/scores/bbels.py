@@ -71,15 +71,26 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             else BankLedger(bank_budget_bytes)
         )
         self._bank_cache = {}
-        self._local_fallback = LocalScoreModule(
-            dataset,
-            kernel_size=self.kernel_size,
-            batch_size=batch_size,
-            schedule=self.schedule,
-            max_samples=self.max_samples,
-            precision=self.precision,
-            shuffle_key=self._shuffle_key,
-        )
+        self._local_fallback_cache = None
+
+    @property
+    def _local_fallback(self):
+        """k >= h falls back to a zeros-mode LocalScoreModule (reference
+        idealscore.py:148-154,162-164). Built LAZILY on first such k: eager
+        construction re-uploaded the whole dataset (a second 614 MB HBM
+        copy at 50k CIFAR) for a path the calibrated odd scales never hit.
+        Shares this module's device arrays, so no duplicate copy either."""
+        if self._local_fallback_cache is None:
+            self._local_fallback_cache = LocalScoreModule(
+                (self.images, self.labels),
+                kernel_size=self.kernel_size,
+                batch_size=self.batch_size,
+                schedule=self.schedule,
+                max_samples=self.max_samples,
+                precision=self.precision,
+                shuffle_key=self._shuffle_key,
+            )
+        return self._local_fallback_cache
 
     # back-compat accessors (see els.py)
     @property
@@ -107,7 +118,11 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
         if not self.bank_ledger.try_reserve(nbytes):
             return None
-        self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+        try:
+            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+        except Exception:
+            self.bank_ledger.release(nbytes)  # failed build must not starve
+            raise                             # retries / ledger siblings
         return self._bank_cache[k]
 
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
@@ -115,6 +130,16 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         if kk % 2 == 0 or kk < 1:
             raise ValueError(
                 f"kernel size must be odd and positive, got {kk}"
+            )
+        import numpy as np
+
+        if label is not None and np.ndim(label) >= 1:
+            # fail fast at the API boundary (the base guard is bypassed on
+            # the banked path); the shape error inside jit is opaque
+            raise ValueError(
+                "LocalEquivBordersScoreModule takes a scalar label per "
+                "call; only LocalEquivScoreModule evaluates per-seed label "
+                "vectors in one sweep — group seeds by label instead"
             )
         if kk >= self.image_size:
             # reference fallback: idealscore.py:162-164

@@ -76,7 +76,9 @@ def update_state(
         s2 = state.s2
     else:
         shared = values.ndim - 2  # leading S dims shared with values
-        letters = "".join(chr(ord("r") + i) for i in range(shared))
+        # uppercase shared-dim letters: lowercase starting at 'r' would
+        # collide with the 'v' value subscript at shared >= 5
+        letters = "".join(chr(ord("A") + i) for i in range(shared))
         spec = f"{letters}...p,{letters}pv->{letters}...v"
         s2 = state.s2 * scale[..., None] + jnp.einsum(
             spec, e, values, precision=jax.lax.Precision.HIGHEST
@@ -193,26 +195,7 @@ def image_weights(
     return kept_f * w_batch[batch_id]
 
 
-def pad_dataset(images: jnp.ndarray, labels: jnp.ndarray, chunk: int):
-    """Zero-pad a dataset so N divides by `chunk`; padded entries get a
-    sentinel label of -1 (never matches) and must be masked by weights."""
-    n = images.shape[0]
-    rem = (-n) % chunk
-    if rem == 0:
-        return images, labels, n
-    images = jnp.concatenate(
-        [images, jnp.zeros((rem, *images.shape[1:]), images.dtype)], axis=0
-    )
-    labels = jnp.concatenate([labels, jnp.full((rem,), -1, labels.dtype)], axis=0)
-    return images, labels, n
-
-
-def finalize_score(x_pixels, state: SoftmaxState, at, bt):
-    """score = -(x - at * (s2/s1)) / bt^2 per pixel.
-
-    Derivation: reference numerator accumulates w e (x - at*v) which equals
-    s1*x - at*s2, so -num/den/bt^2 = -(x - at*s2/s1)/bt^2 — identical to all
-    four modules' returns (idealscore.py:372,473,557,636).
-    """
-    mean_v = state.s2 / state.s1[..., None]
-    return -(x_pixels - at * mean_v) / (bt**2)
+# Score finalization note (inlined by every module): the reference
+# numerator accumulates w e (x - at*v) which equals s1*x - at*s2, so
+# -num/den/bt^2 = -(x - at*s2/s1)/bt^2 — identical to all four modules'
+# returns (idealscore.py:372,473,557,636).

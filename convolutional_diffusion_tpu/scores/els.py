@@ -97,6 +97,14 @@ def els_sweep(
         state, _ = jax.lax.scan(step, state0, (images_p, w_img_p))
         return state_from_pallas(*state)
 
+    # jnp fallback path: honor the precision ladder like the kernel —
+    # HIGH (bf16x3) for the non-parity tiers, never pure bf16 (DEFAULT)
+    jnp_prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.HIGH
+    )
+
     def step(state, chunk):
         imgs_c, w_c = chunk
         imgs_c = imgs_c.reshape(cs, *hwc)
@@ -105,7 +113,7 @@ def els_sweep(
         pn = jnp.sum(patches**2, axis=-1)
         w_p = jnp.repeat(w_c, per_img)
         dots = jnp.einsum(
-            "qd,pd->qp", xq_flat, patches, precision=jax.lax.Precision.HIGHEST
+            "qd,pd->qp", xq_flat, patches, precision=jnp_prec
         )
         logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pn) / beta2
         return update_state(state, logits, w_p[None, :], centers), None
@@ -193,7 +201,11 @@ class LocalEquivScoreModule(ScoreModuleBase):
         nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
         if not self.bank_ledger.try_reserve(nbytes):
             return None
-        self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+        try:
+            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+        except Exception:
+            self.bank_ledger.release(nbytes)  # failed build must not starve
+            raise                             # retries / ledger siblings
         return self._bank_cache[k]
 
     def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
@@ -287,13 +299,18 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 _, s1_, s2_ = state_from_pallas(*state)
             else:
 
+                jnp_prec = (
+                    jax.lax.Precision.HIGHEST
+                    if self.precision == "highest"
+                    else jax.lax.Precision.HIGH  # bf16x3, never pure bf16
+                )
+
                 def step(state, blk):
                     kb, vb, pnb, wb = blk
                     kb = kb.reshape(B, d)
                     vb = vb.reshape(B, c)
                     dots = jnp.einsum(
-                        "qd,pd->qp", xq_flat, kb,
-                        precision=jax.lax.Precision.HIGHEST,
+                        "qd,pd->qp", xq_flat, kb, precision=jnp_prec,
                     )
                     logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
                     if vector_label:
@@ -337,10 +354,21 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 out = jnp.zeros_like(x)
                 for lab_val in np.unique(labs_np):
                     sel = np.nonzero(labs_np == lab_val)[0]
+                    # pad the group to the next power of two: otherwise
+                    # every distinct group size is a fresh x.shape -> a
+                    # fresh jit compile (minutes each on the remote
+                    # tunnel); padded zero seeds cost compute, not compiles
+                    m = len(sel)
+                    size = 1 << (m - 1).bit_length()
+                    xg = x[sel]
+                    if size > m:
+                        xg = jnp.concatenate(
+                            [xg, jnp.zeros((size - m, *x.shape[1:]), x.dtype)]
+                        )
                     part = super().__call__(
-                        t, x[sel], label=int(lab_val), k=kk, order=order
+                        t, xg, label=int(lab_val), k=kk, order=order
                     )
-                    out = out.at[sel].set(part)
+                    out = out.at[sel].set(part[:m])
                 return out
             return super().__call__(t, x, label=label, k=kk, order=order)
         from .base import _as_scalar_t

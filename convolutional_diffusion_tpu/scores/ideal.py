@@ -29,6 +29,10 @@ from .common import (
 
 
 class IdealScoreModule(ScoreModuleBase):
+    # whole-image module: k is irrelevant (the reference forward swallows it
+    # via **kwargs, idealscore.py:600) — accept any k, compile once
+    uses_kernel_size = False
+
     def __init__(self, dataset, *, batch_size: int = 128, **kw):
         super().__init__(dataset, batch_size=batch_size, **kw)
 

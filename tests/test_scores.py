@@ -375,3 +375,60 @@ class TestBankBudgetAccounting:
         assert m1._bank(3) is not None
         assert m2._bank(3) is None  # fleet budget exhausted by m1
         assert m1._bank_bytes_used == m2._bank_bytes_used == k3
+
+
+class TestReviewGuards:
+    def _data(self):
+        imgs = np.random.RandomState(0).normal(size=(12, 8, 8, 3)).astype(np.float32)
+        labs = np.arange(12, dtype=np.int32) % 3
+        x = np.random.RandomState(1).normal(size=(2, 8, 8, 3)).astype(np.float32)
+        return imgs, labs, x
+
+    def test_ideal_accepts_any_k(self):
+        # the reference IS forward swallows k via **kwargs
+        # (idealscore.py:600); an even scales entry must not raise, and all
+        # k share one compiled entry
+        imgs, labs, x = self._data()
+        mod = IdealScoreModule((imgs, labs), batch_size=12)
+        a = np.asarray(mod(0.4, x, k=4))
+        b = np.asarray(mod(0.4, x, k=7))
+        np.testing.assert_allclose(a, b)
+        assert len(mod._jit_cache) == 1
+
+    def test_vector_label_rejected_outside_els(self):
+        imgs, labs, x = self._data()
+        vec = np.array([0, 1])
+        for mod in (
+            IdealScoreModule((imgs, labs), batch_size=12),
+            LocalScoreModule((imgs, labs), batch_size=12),
+            LocalEquivBordersScoreModule((imgs, labs), batch_size=12),
+        ):
+            with pytest.raises(ValueError, match="scalar label"):
+                mod(0.4, x, label=vec, k=3)
+
+    def test_ledger_released_on_failed_build(self, monkeypatch):
+        from convolutional_diffusion_tpu.scores import bank as bank_mod
+        from convolutional_diffusion_tpu.scores import els as els_mod
+
+        imgs, labs, x = self._data()
+        mod = LocalEquivScoreModule((imgs, labs), batch_size=12)
+
+        def boom(images, k, target_block):
+            raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+
+        monkeypatch.setattr(els_mod, "build_bank", boom)
+        with pytest.raises(RuntimeError):
+            mod._bank(3)
+        assert mod._bank_bytes_used == 0  # reservation rolled back
+        monkeypatch.undo()
+        assert mod._bank(3) is not None  # retry succeeds
+
+    def test_bbels_local_fallback_lazy_and_shared(self):
+        imgs, labs, x = self._data()
+        mod = LocalEquivBordersScoreModule((imgs, labs), batch_size=12)
+        assert mod._local_fallback_cache is None  # not built eagerly
+        out = mod(0.4, x, k=9)  # k >= h triggers the fallback
+        assert mod._local_fallback_cache is not None
+        # shares the device arrays — no duplicate dataset copy
+        assert mod._local_fallback.images is mod.images
+        assert np.isfinite(np.asarray(out)).all()
