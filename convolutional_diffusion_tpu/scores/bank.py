@@ -85,6 +85,66 @@ def bank_nbytes(n: int, h: int, w: int, c: int, k: int, target_block: int) -> in
     return g.nblk * g.block * (g.d + c + 1) * 4
 
 
+class BankCacheMixin:
+    """Shared bank-cache plumbing for ELS/bbELS (they cache the same valid-
+    patch banks: bbELS's center-region windows ARE the ELS bank).
+
+    Host class must call `_init_bank_cache(...)` in __init__; gains the
+    ledger-backed `_bank(k)`, the chunk geometry, and the back-compat
+    budget accessors."""
+
+    def _init_bank_cache(self, *, target_block, use_pallas,
+                         bank_budget_bytes, bank_ledger):
+        self.target_block = target_block
+        self.use_pallas = use_pallas
+        # bank_ledger: pass ONE BankLedger to several modules (e.g. the
+        # per-k calibration fleet) so the budget caps their cached banks
+        # cumulatively; by default each module gets its own ledger.
+        self.bank_ledger = (
+            bank_ledger if bank_ledger is not None
+            else BankLedger(bank_budget_bytes)
+        )
+        self._bank_cache = {}
+
+    # back-compat accessors (tests/tools tune the budget post-construction)
+    @property
+    def bank_budget_bytes(self) -> int:
+        return self.bank_ledger.budget
+
+    @bank_budget_bytes.setter
+    def bank_budget_bytes(self, v: int) -> None:
+        self.bank_ledger.budget = v
+
+    @property
+    def _bank_bytes_used(self) -> int:
+        return self.bank_ledger.used
+
+    def _chunk_images(self, k: int) -> int:
+        """Images per scan step so the patch block stays ~target_block
+        (single source of truth: bank_geometry, so streaming chunking
+        always matches the cached-bank layout)."""
+        n, h, w, c = self.images.shape
+        return bank_geometry(n, h, w, c, k, self.target_block).cs
+
+    def _bank(self, k: int):
+        """(bank [nblk, B*d], centers [nblk, B*c], pn [nblk, B]) device
+        arrays in the compact chunked layout, or None if the bank exceeds
+        the remaining ledger budget (fall back to on-the-fly; NOT cached
+        as a miss — a later call may find budget)."""
+        if k in self._bank_cache:
+            return self._bank_cache[k]
+        n, h, w, c = self.images.shape
+        nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
+        if not self.bank_ledger.try_reserve(nbytes):
+            return None
+        try:
+            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+        except Exception:
+            self.bank_ledger.release(nbytes)  # failed build must not starve
+            raise                             # retries / ledger siblings
+        return self._bank_cache[k]
+
+
 def build_bank(images: jnp.ndarray, k: int, target_block: int):
     """images [n, h, w, c] -> (bank [nblk, B*d], centers [nblk, B*c],
     pn [nblk, B]) on device, chunk-at-a-time (peak transient = one chunk's

@@ -37,8 +37,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import center_index, extract_patches, pad_image
-from .bank import BankLedger, bank_geometry, bank_nbytes, build_bank
+from .bank import BankCacheMixin, bank_geometry
 from .base import ScoreModuleBase
+from .els import banked_sweep
 from .common import (
     CutoffRule,
     Weighting,
@@ -49,7 +50,7 @@ from .common import (
 from .local import LocalScoreModule
 
 
-class LocalEquivBordersScoreModule(ScoreModuleBase):
+class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
     def __init__(
         self,
         dataset,
@@ -62,15 +63,12 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
-        self.target_block = target_block
-        self.use_pallas = use_pallas
         # cumulative across kernel sizes AND, via a shared BankLedger,
         # across modules (see els.py / scores.bank notes)
-        self.bank_ledger = (
-            bank_ledger if bank_ledger is not None
-            else BankLedger(bank_budget_bytes)
+        self._init_bank_cache(
+            target_block=target_block, use_pallas=use_pallas,
+            bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
         )
-        self._bank_cache = {}
         self._local_fallback_cache = None
 
     @property
@@ -92,38 +90,11 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
             )
         return self._local_fallback_cache
 
-    # back-compat accessors (see els.py)
-    @property
-    def bank_budget_bytes(self) -> int:
-        return self.bank_ledger.budget
-
-    @bank_budget_bytes.setter
-    def bank_budget_bytes(self, v: int) -> None:
-        self.bank_ledger.budget = v
-
-    @property
-    def _bank_bytes_used(self) -> int:
-        return self.bank_ledger.used
-
     def _center_bank(self, k: int):
         """Cached center-region bank: the interior windows are exactly the
         valid k x k patches of the (unpadded) training images, so the center
-        of bbELS shares the ELS bank layout — compact chunked storage
-        ([nblk, B*d] flat rows, scores.bank) so HBM cost equals payload.
-        None when over the HBM budget (not cached as a miss — budget may
-        free up later)."""
-        if k in self._bank_cache:
-            return self._bank_cache[k]
-        n, h, w, c = self.images.shape
-        nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
-        if not self.bank_ledger.try_reserve(nbytes):
-            return None
-        try:
-            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
-        except Exception:
-            self.bank_ledger.release(nbytes)  # failed build must not starve
-            raise                             # retries / ledger siblings
-        return self._bank_cache[k]
+        of bbELS IS the ELS bank (BankCacheMixin._bank)."""
+        return self._bank(k)
 
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
         kk = int(k) if k is not None else self.kernel_size
@@ -164,12 +135,6 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
         return self._jit_cache[key](
             self.images, self.labels, self._stream_order(order), x, lab, at, bt, *bank
         )
-
-    def _chunk_images(self, k: int) -> int:
-        # (h - 2*(k//2))^2 interior positions == (h-k+1)^2 for odd k, the
-        # only k this module admits — share bank_geometry's chunking
-        n, h, w, c = self.images.shape
-        return bank_geometry(n, h, w, c, k, self.target_block).cs
 
     def _build(self, *, k: int, x_shape, has_label: bool, center_banked: bool = False):
         batch_size = self.batch_size
@@ -389,53 +354,12 @@ class LocalEquivBordersScoreModule(ScoreModuleBase):
                 )
                 w_b = jnp.repeat(w_imgp, per).reshape(-1, Bc)
                 M = b * per
-                q_flat = q_center.reshape(M, d)
-                qn_flat = qn_center.reshape(M)
-                if use_pallas:
-                    from ..ops.flash_score import (
-                        flash_score_update,
-                        state_from_pallas,
-                        state_to_pallas,
-                    )
-
-                    def cstep(st, blk):
-                        kb, vb, pnb, wb = blk
-                        return (
-                            flash_score_update(
-                                q_flat, qn_flat, kb.reshape(Bc, d), pnb,
-                                vb.reshape(Bc, c), wb, at, bt, st,
-                                precision=precision,
-                                fast_exp=(precision == "default"),
-                            ),
-                            None,
-                        )
-
-                    st0 = state_to_pallas(
-                        jnp.full((M,), -jnp.inf, jnp.float32),
-                        jnp.zeros((M,), jnp.float32),
-                        jnp.zeros((M, c), jnp.float32),
-                    )
-                    st, _ = jax.lax.scan(cstep, st0, (bank, bank_ctr, bank_pn, w_b))
-                    _, cs1, cs2 = state_from_pallas(*st)
-                else:
-
-                    def cstep(st, blk):
-                        kb, vb, pnb, wb = blk
-                        dots = jnp.einsum(
-                            "qd,pd->qp", q_flat, kb.reshape(Bc, d), precision=HI
-                        )
-                        logits = (
-                            -(qn_flat[:, None] - 2 * at * dots + at**2 * pnb) / beta2
-                        )
-                        return (
-                            update_state(st, logits, wb[None, :], vb.reshape(Bc, c)),
-                            None,
-                        )
-
-                    st, _ = jax.lax.scan(
-                        cstep, init_state((M,), c), (bank, bank_ctr, bank_pn, w_b)
-                    )
-                    cs1, cs2 = st.s1, st.s2
+                cs1, cs2 = banked_sweep(
+                    q_center.reshape(M, d), qn_center.reshape(M),
+                    bank, bank_ctr, bank_pn, w_b, at, bt,
+                    B=Bc, d=d, c=c, use_pallas=use_pallas,
+                    precision=precision,
+                )
                 mc = (cs2 / cs1[:, None]).reshape(b, hc, wc, c)
 
             # --- assemble the score image -------------------------------

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.patches import extract_patches, pad_image, patch_centers
-from .bank import BankLedger, bank_geometry, bank_nbytes, build_bank
+from .bank import BankCacheMixin, bank_geometry
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
@@ -122,7 +122,84 @@ def els_sweep(
     return state.m, state.s1, state.s2
 
 
-class LocalEquivScoreModule(ScoreModuleBase):
+def banked_sweep(
+    q_flat,  # [M, d] query windows
+    qn_flat,  # [M]
+    bank,  # [nblk, B*d] PREBUILT compact chunks (scores.bank layout)
+    centers,  # [nblk, B*c]
+    pn,  # [nblk, B]
+    w_b,  # [nblk, B] weights, or [nblk, S, B] per-seed (vector-label mode)
+    at,
+    bt,
+    *,
+    B: int,
+    d: int,
+    c: int,
+    use_pallas: bool,
+    precision: str,
+    rows_per_seed: int | None = None,  # required when w_b is per-seed
+):
+    """Scan prebuilt bank chunks through the online softmax; returns
+    (s1 [M], s2 [M, c]). The single sweep implementation behind both the
+    ELS bank mode and the bbELS center region (their banks are identical:
+    the valid k x k patches of the training images). Each step reshapes
+    its own flat block back to [B, d] — a transient few-MB padded copy."""
+    M = q_flat.shape[0]
+    beta2 = 2.0 * bt**2
+    vector = w_b.ndim == 3
+
+    if use_pallas:
+        from ..ops.flash_score import (
+            flash_score_update,
+            state_from_pallas,
+            state_to_pallas,
+        )
+
+        def step(state, blk):
+            kb, vb, pnb, wb = blk
+            return (
+                flash_score_update(
+                    q_flat, qn_flat, kb.reshape(B, d), pnb,
+                    vb.reshape(B, c), wb, at, bt, state,
+                    precision=precision,
+                    fast_exp=(precision == "default"),
+                    rows_per_seed=rows_per_seed if vector else None,
+                ),
+                None,
+            )
+
+        state0 = state_to_pallas(
+            jnp.full((M,), -jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.float32),
+            jnp.zeros((M, c), jnp.float32),
+        )
+        state, _ = jax.lax.scan(step, state0, (bank, centers, pn, w_b))
+        _, s1, s2 = state_from_pallas(*state)
+        return s1, s2
+
+    jnp_prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.HIGH  # bf16x3, never pure bf16
+    )
+
+    def step(state, blk):
+        kb, vb, pnb, wb = blk
+        kb = kb.reshape(B, d)
+        vb = vb.reshape(B, c)
+        dots = jnp.einsum("qd,pd->qp", q_flat, kb, precision=jnp_prec)
+        logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
+        if vector:
+            # per-seed weights: rows of seed s use wb[s]
+            wrow = jnp.repeat(wb, rows_per_seed, axis=0)  # [M, B]
+            return update_state(state, logits, wrow, vb), None
+        return update_state(state, logits, wb[None, :], vb), None
+
+    state, _ = jax.lax.scan(step, init_state((M,), c), (bank, centers, pn, w_b))
+    return state.s1, state.s2
+
+
+class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
     """mode: boundary condition of the QUERY padding (the paper's ELS uses
     circular; the bank always uses valid patches).
 
@@ -147,18 +224,8 @@ class LocalEquivScoreModule(ScoreModuleBase):
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
-        self.target_block = target_block
-        self.use_pallas = use_pallas
-        # bank_ledger: pass ONE BankLedger to several modules (e.g. the
-        # per-k calibration fleet) so the budget caps their cached banks
-        # cumulatively; by default each module gets its own ledger of
-        # bank_budget_bytes.
-        self.bank_ledger = (
-            bank_ledger if bank_ledger is not None
-            else BankLedger(bank_budget_bytes)
-        )
         # Patch banks are immutable per (k, dataset): cache the extracted
-        # [P_total, d] bank in HBM when it fits the budget, so extraction
+        # bank in HBM when it fits the ledger budget, so extraction
         # amortizes to zero across ScheduledScoreMachine steps and samples
         # (the sweep becomes pure MXU matmuls over bank blocks). The budget
         # is CUMULATIVE across kernel sizes — a 20-step scales schedule
@@ -167,46 +234,16 @@ class LocalEquivScoreModule(ScoreModuleBase):
         # bank (5.58 GB) and streams the rest — the 12.39 GB k=5 bank fits
         # a 16 GB v5e on paper but RESOURCE_EXHAUSTs at runtime next to the
         # image set + per-call transients (measured, round 2). Banks are
-        # stored fp32: bf16 storage would round patch
-        # values at 2^-9, which the 1/(2 beta^2) logit scaling amplifies to
-        # ~19% posterior error at low noise — the same failure mode that
-        # forces fp32 QK dots (PERFORMANCE.md). At 50k-image scale the
-        # uncached path's on-the-fly extraction is amortized to noise by the
-        # per-sweep softmax work anyway.
-        self._bank_cache = {}
-
-    # back-compat accessors (tests/tools tune the budget post-construction)
-    @property
-    def bank_budget_bytes(self) -> int:
-        return self.bank_ledger.budget
-
-    @bank_budget_bytes.setter
-    def bank_budget_bytes(self, v: int) -> None:
-        self.bank_ledger.budget = v
-
-    @property
-    def _bank_bytes_used(self) -> int:
-        return self.bank_ledger.used
-
-    def _bank(self, k: int):
-        """(bank [nblk, B*d], centers [nblk, B*c], pn [nblk, B]) device
-        arrays in the compact chunked layout (scores.bank — a 2-D [P, d]
-        store would layout-pad d to 128 lanes, up to 4.7x hidden HBM bloat),
-        or None if the bank exceeds the remaining HBM budget (fall back to
-        on-the-fly; NOT cached as a miss — a later call may find budget,
-        e.g. after the caller raises bank_budget_bytes)."""
-        if k in self._bank_cache:
-            return self._bank_cache[k]
-        n, h, w, c = self.images.shape
-        nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
-        if not self.bank_ledger.try_reserve(nbytes):
-            return None
-        try:
-            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
-        except Exception:
-            self.bank_ledger.release(nbytes)  # failed build must not starve
-            raise                             # retries / ledger siblings
-        return self._bank_cache[k]
+        # stored fp32: bf16 storage would round patch values at 2^-9, which
+        # the 1/(2 beta^2) logit scaling amplifies to ~19% posterior error
+        # at low noise — the same failure mode that forces fp32 QK dots
+        # (PERFORMANCE.md). At 50k-image scale the uncached path's
+        # on-the-fly extraction is amortized to noise by the per-sweep
+        # softmax work anyway.
+        self._init_bank_cache(
+            target_block=target_block, use_pallas=use_pallas,
+            bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
+        )
 
     def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
                          vector_label: bool = False):
@@ -266,63 +303,13 @@ class LocalEquivScoreModule(ScoreModuleBase):
                 if vector_label
                 else w_patch.reshape(-1, B)
             )
-            beta2 = 2.0 * bt**2
 
-            if use_pallas:
-                from ..ops.flash_score import (
-                    flash_score_update,
-                    state_from_pallas,
-                    state_to_pallas,
-                )
-
-                def step(state, blk):
-                    kb, vb, pnb, wb = blk
-                    return (
-                        flash_score_update(
-                            xq_flat, qn_flat, kb.reshape(B, d), pnb,
-                            vb.reshape(B, c), wb, at, bt, state,
-                            precision=self.precision,
-                            fast_exp=(self.precision == "default"),
-                            rows_per_seed=hw if vector_label else None,
-                        ),
-                        None,
-                    )
-
-                state0 = state_to_pallas(
-                    jnp.full((M,), -jnp.inf, jnp.float32),
-                    jnp.zeros((M,), jnp.float32),
-                    jnp.zeros((M, c), jnp.float32),
-                )
-                state, _ = jax.lax.scan(
-                    step, state0, (bank, centers, pn, w_b)
-                )
-                _, s1_, s2_ = state_from_pallas(*state)
-            else:
-
-                jnp_prec = (
-                    jax.lax.Precision.HIGHEST
-                    if self.precision == "highest"
-                    else jax.lax.Precision.HIGH  # bf16x3, never pure bf16
-                )
-
-                def step(state, blk):
-                    kb, vb, pnb, wb = blk
-                    kb = kb.reshape(B, d)
-                    vb = vb.reshape(B, c)
-                    dots = jnp.einsum(
-                        "qd,pd->qp", xq_flat, kb, precision=jnp_prec,
-                    )
-                    logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pnb) / beta2
-                    if vector_label:
-                        # per-seed weights: rows of seed s use wb[s]
-                        wrow = jnp.repeat(wb, hw, axis=0)  # [M, B]
-                        return update_state(state, logits, wrow, vb), None
-                    return update_state(state, logits, wb[None, :], vb), None
-
-                state, _ = jax.lax.scan(
-                    step, init_state((M,), c), (bank, centers, pn, w_b)
-                )
-                s1_, s2_ = state.s1, state.s2
+            s1_, s2_ = banked_sweep(
+                xq_flat, qn_flat, bank, centers, pn, w_b, at, bt,
+                B=B, d=d, c=c, use_pallas=use_pallas,
+                precision=self.precision,
+                rows_per_seed=hw if vector_label else None,
+            )
 
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
@@ -392,13 +379,6 @@ class LocalEquivScoreModule(ScoreModuleBase):
         return self._jit_cache[key](
             *bank, self.labels, self._stream_order(order), x, lab, at, bt
         )
-
-    def _chunk_images(self, k: int) -> int:
-        """Images per scan step so the patch block stays ~target_block
-        (single source of truth: bank_geometry, so the streaming chunking
-        always matches the cached-bank layout)."""
-        n, h, w, c = self.images.shape
-        return bank_geometry(n, h, w, c, k, self.target_block).cs
 
     def _build(self, *, k: int, x_shape, has_label: bool):
         batch_size = self.batch_size

@@ -408,7 +408,6 @@ class TestReviewGuards:
 
     def test_ledger_released_on_failed_build(self, monkeypatch):
         from convolutional_diffusion_tpu.scores import bank as bank_mod
-        from convolutional_diffusion_tpu.scores import els as els_mod
 
         imgs, labs, x = self._data()
         mod = LocalEquivScoreModule((imgs, labs), batch_size=12)
@@ -416,7 +415,7 @@ class TestReviewGuards:
         def boom(images, k, target_block):
             raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
 
-        monkeypatch.setattr(els_mod, "build_bank", boom)
+        monkeypatch.setattr(bank_mod, "build_bank", boom)
         with pytest.raises(RuntimeError):
             mod._bank(3)
         assert mod._bank_bytes_used == 0  # reservation rolled back
