@@ -62,10 +62,19 @@ def make_mesh(
     if len(axis_names) == 1:
         shape = (n,)
     else:
-        # factor n as evenly as possible over the requested axes
-        shape = [1] * len(axis_names)
-        shape[0] = n
-        shape = tuple(shape)
+        # factor n as evenly as possible over the requested axes, larger
+        # factors first (axis 0 is conventionally 'data'): 8 over 2 axes
+        # -> (4, 2); 8 over 3 -> (2, 2, 2); primes degrade to (n, 1, ...)
+        sizes = []
+        rem = n
+        for axes_left in range(len(axis_names), 1, -1):
+            target = int(round(rem ** (1.0 / axes_left)))
+            d = max(
+                dd for dd in range(1, max(target, 1) + 1) if rem % dd == 0
+            )
+            sizes.append(d)  # the LAST remaining axis gets the small factor
+            rem //= d
+        shape = (rem, *reversed(sizes))
     return Mesh(devs.reshape(shape), axis_names)
 
 

@@ -24,10 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.patches import extract_patches, pad_image
-from ..scores.common import CutoffRule, Weighting, image_weights
 from ..scores.bbels import LocalEquivBordersScoreModule
-from ..scores.els import LocalEquivScoreModule, els_sweep
+from ..scores.els import LocalEquivScoreModule
 
 
 def merge_collective(m, s1, s2, axis_name: str):
@@ -70,76 +68,9 @@ class ShardedLocalEquivScoreModule(LocalEquivScoreModule):
 
         return ScoreModuleBase.__call__(self, t, x, label=label, k=k, order=order)
 
-    def _build(self, *, k: int, x_shape, has_label: bool):
-        batch_size = self.batch_size
-        max_samples = self.max_samples
-        cs = self._chunk_images(k)
-        mesh = self.mesh
-        axis = self.axis
-        n_dev = mesh.shape[axis]
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
-        precision = self.precision
-
-        def fn(images, labels, order, x, lab, at, bt):
-            n, h, w, c = images.shape
-            per_img = (h - k + 1) * (w - k + 1)
-            d = k * k * c
-            w_img = image_weights(
-                labels,
-                lab if has_label else None,
-                batch_size=batch_size,
-                max_samples=max_samples,
-                cutoff=CutoffRule.UNFILTERED,
-                weighting=Weighting.MEAN,
-                per_image_bank=per_img,
-                order=order,
-            )
-            # pad to (devices * chunk) multiple, then [n_dev, n_chunks, cs, hwc]
-            # (flattened per chunk — see els_sweep's layout note)
-            pad = (-n) % (n_dev * cs)
-            images_p = jnp.concatenate(
-                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
-            )
-            w_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
-            images_p = images_p.reshape(n_dev, -1, cs, h * w * c)
-            w_p = w_p.reshape(n_dev, -1, cs)
-
-            b = x.shape[0]
-            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
-            M = b * h * w
-            xq_flat = xq.reshape(M, d)
-            qn_flat = jnp.sum(xq_flat**2, axis=-1)
-
-            def local(images_s, w_s, xq_flat, qn_flat, at, bt):
-                # shard_map adds a leading device dim of size 1 per spec
-                images_s = images_s[0]
-                w_s = w_s[0]
-                m, s1, s2 = els_sweep(
-                    images_s, w_s, xq_flat, qn_flat, at, bt,
-                    k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
-                    use_pallas=use_pallas,
-                    precision=precision,
-                )
-                m, s1, s2 = merge_collective(m, s1, s2, axis)
-                return s1, s2
-
-            s1, s2 = jax.shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(P(axis), P(axis), P(), P(), P(), P()),
-                out_specs=(P(), P()),
-                # the scan carry starts replicated and becomes device-varying
-                # after folding in the shard — skip the vma strictness check
-                check_vma=False,
-            )(images_p, w_p, xq_flat, qn_flat, at, bt)
-
-            mean_center = (s2 / s1[:, None]).reshape(b, h * w, c)
-            score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
-            return score.reshape(x.shape)
-
-        return jax.jit(fn)
+    # _build inherits from LocalEquivScoreModule, which is mesh-aware:
+    # it shards the dataset over self.mesh/self.axis and merges partial
+    # softmax states with merge_collective (same pattern as bbELS below).
 
 
 class ShardedLocalEquivBordersScoreModule(LocalEquivBordersScoreModule):

@@ -73,6 +73,11 @@ def sample_scan(
     if ddpm and key is None:
         raise ValueError("ddpm=True requires a PRNG key")
     key = key if key is not None else jax.random.PRNGKey(0)
+    if breakstep > nsteps:
+        # reference semantics (models.py:48-51): the loop never reaches an
+        # i == breakstep above nsteps, so the full reverse pass runs; the
+        # freeze predicate below would otherwise freeze EVERY step
+        breakstep = -1
 
     def step(carry, i):
         x, k = carry

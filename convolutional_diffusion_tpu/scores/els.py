@@ -381,12 +381,21 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         )
 
     def _build(self, *, k: int, x_shape, has_label: bool):
+        """Streaming (bank-less) scorer. Mesh-aware: when the subclass sets
+        `mesh`/`axis` (parallel.ShardedLocalEquivScoreModule), the dataset
+        shards over the mesh axis and each device's partial softmax state
+        merges with the pmax/psum collective — the single source for both
+        the single-device and sharded sweeps (same pattern as bbELS)."""
         batch_size = self.batch_size
         max_samples = self.max_samples
         cs = self._chunk_images(k)
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        precision = self.precision
+        mesh = getattr(self, "mesh", None)
+        shard_axis = getattr(self, "axis", "data")
+        n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
         def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
@@ -403,12 +412,15 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 per_image_bank=per_img,
                 order=order,
             )
-            pad = (-n) % cs
+            pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
                 [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
-            ).reshape(-1, cs, h * w * c)
+            ).reshape(
+                (n_dev, -1, cs, h * w * c) if mesh is not None
+                else (-1, cs, h * w * c)
+            )
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
-                -1, cs
+                (n_dev, -1, cs) if mesh is not None else (-1, cs)
             )
 
             b = x.shape[0]
@@ -417,12 +429,39 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             xq_flat = xq.reshape(M, d)
             qn_flat = jnp.sum(xq_flat**2, axis=-1)  # [M]
 
-            _, s1_, s2_ = els_sweep(
-                images_p, w_img_p, xq_flat, qn_flat, at, bt,
-                k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
-                use_pallas=use_pallas,
-                precision=self.precision,
-            )
+            if mesh is None:
+                _, s1_, s2_ = els_sweep(
+                    images_p, w_img_p, xq_flat, qn_flat, at, bt,
+                    k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
+                    use_pallas=use_pallas,
+                    precision=precision,
+                )
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded_score import merge_collective
+
+                def local(images_s, w_s, xq_flat, qn_flat, at, bt):
+                    # shard_map adds a leading device dim of size 1 per spec
+                    m, s1, s2 = els_sweep(
+                        images_s[0], w_s[0], xq_flat, qn_flat, at, bt,
+                        k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
+                        use_pallas=use_pallas,
+                        precision=precision,
+                    )
+                    m, s1, s2 = merge_collective(m, s1, s2, shard_axis)
+                    return s1, s2
+
+                s1_, s2_ = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(shard_axis), P(shard_axis), P(), P(), P(), P()),
+                    out_specs=(P(), P()),
+                    # the scan carry starts replicated and becomes device-
+                    # varying after folding in the shard — skip vma checks
+                    check_vma=False,
+                )(images_p, w_img_p, xq_flat, qn_flat, at, bt)
+
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
             return score.reshape(x.shape)

@@ -196,10 +196,26 @@ def train_diffusion(
             lambda old, new: jnp.asarray(new, old.dtype), params, restored["params"]
         )
         if "opt_state" in restored:
-            opt_state = jax.tree_util.tree_map(
-                lambda old, new: jnp.asarray(new, jnp.asarray(old).dtype),
-                opt_state,
-                restored["opt_state"],
+            # orbax restores (without a target) as plain containers — optax
+            # namedtuples come back as dicts and EmptyState as None — so a
+            # structural tree_map against the live opt_state fails. Zip the
+            # LEAVES instead: dict keys flatten sorted, which matches optax
+            # field order (count/mu/nu), and None/EmptyState are both empty
+            # nodes, so leaf order lines up.
+            flat_old, treedef = jax.tree_util.tree_flatten(opt_state)
+            flat_new = jax.tree_util.tree_leaves(restored["opt_state"])
+            if len(flat_old) != len(flat_new):
+                raise ValueError(
+                    f"checkpoint opt_state has {len(flat_new)} leaves, the "
+                    f"optimizer expects {len(flat_old)} — was it saved with "
+                    "a different optimizer configuration?"
+                )
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    jnp.asarray(new, jnp.asarray(old).dtype)
+                    for old, new in zip(flat_old, flat_new)
+                ],
             )
         start_step = int(blob.get("meta", {}).get("step", 0))
         log_fn(f"resumed from {resume_from} at step {start_step}")
@@ -212,19 +228,37 @@ def train_diffusion(
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
 
+    if mesh is not None and config.batch_size % mesh.size:
+        raise ValueError(
+            f"batch_size={config.batch_size} must divide over the "
+            f"{mesh.size}-device mesh (every regular batch would otherwise "
+            "fall back to replicated compute on all devices)"
+        )
+
     def put_batch(x):
         if mesh is None:
             return jnp.asarray(x)
+        if x.shape[0] % mesh.size:
+            # ragged tail (drop_last=False): device_put cannot shard an
+            # indivisible leading dim — replicate instead. Every device
+            # redundantly computes the small tail batch; math is identical
+            # and the tail shape compiles once.
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
         return jax.device_put(x, NamedSharding(mesh, data_spec(x.ndim)))
 
     rng = np.random.RandomState(config.seed)
     key = jax.random.PRNGKey(config.seed)
     bs = config.batch_size
     steps_per_epoch = n // bs if config.drop_last else -(-n // bs)
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset of {n} samples is smaller than batch_size={bs} with "
+            "drop_last=True — lower batch_size or pass drop_last=False"
+        )
     history = []
     step = start_step
     for epoch in range(config.epochs):
-        perm = rng.permutation(n)
+        perm = rng.permutation(n) if native is None else None
         epoch_losses = []
         t0 = time.time()
         for i in range(steps_per_epoch):

@@ -154,3 +154,22 @@ class TestSampling:
         x0 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
         out = fn(params, x0)
         assert out.shape == x0.shape
+
+
+def test_breakstep_beyond_nsteps_runs_full_loop():
+    """Reference semantics (models.py:48-51): a breakstep the loop never
+    reaches means the full reverse pass runs — regression for the scan
+    freeze that returned the untouched seed."""
+    import numpy as np
+
+    from convolutional_diffusion_tpu import sampling
+    from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
+
+    net = MinimalResNet(channels=1, emb_dim=16, num_layers=1, mode="zeros")
+    model = DiffusionModel(net, in_channels=1, default_imsize=8)
+    params = model.init(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    full = sampling.sample(model, params, x=x0, nsteps=5)
+    beyond = sampling.sample(model, params, x=x0, nsteps=5, breakstep=9)
+    np.testing.assert_allclose(np.asarray(beyond), np.asarray(full))
+    assert not np.allclose(np.asarray(beyond), np.asarray(x0))
