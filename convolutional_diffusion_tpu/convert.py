@@ -266,7 +266,9 @@ def load_torch_pickle(path: str):
 
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            if module.startswith(("torch.", "torch")) or module in (
+            # exact 'torch' or 'torch.*' — a bare startswith('torch') would
+            # also match torchvision/torch_geometric and bypass the stubs
+            if module == "torch" or module.startswith("torch.") or module in (
                 "collections",
                 "builtins",
                 "__builtin__",  # py2-style names in torch pickle streams

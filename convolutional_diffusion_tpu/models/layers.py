@@ -31,11 +31,16 @@ def pad_same(x: jnp.ndarray, kernel_size: int, mode: str) -> jnp.ndarray:
 
     mode: 'circular' (wrap) or 'zeros' — the paper's two boundary conditions.
     """
-    p = kernel_size // 2
-    if p == 0:
+    total = kernel_size - 1
+    if total == 0:
         return x
+    # torch 'same' semantics (nn.Conv2d conv.py): total padding k-1, split
+    # floor-left / ceil-right — asymmetric for EVEN kernels (k=4 -> 1,2);
+    # a symmetric 2*(k//2) pad would grow even-k outputs by one pixel
+    lo = total // 2
+    hi = total - lo
     pad_mode = {"circular": "wrap", "zeros": "constant"}[mode]
-    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=pad_mode)
+    return jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)), mode=pad_mode)
 
 
 class PaddedConv(nn.Module):

@@ -128,7 +128,7 @@ class MinimalUNet(nn.Module):
                 transpose_kernel=True,
                 name=f"upsample_{j}",
             )(x)
-            skip = skips[::-1][j]
+            skip = skips[-(j + 1)]  # matching encoder level
             x = jnp.concatenate([skip, upconv], axis=-1)
             # Decoder UBlocks use default kernel_size=3 (reference :225 quirk).
             x = UBlock(

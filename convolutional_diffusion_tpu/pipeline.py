@@ -129,18 +129,58 @@ def generate_els_samples(
         if not os.path.isdir(out_dir) or not os.path.isdir(seed_dir):
             raise FileNotFoundError(f"required directories missing: {seed_dir}")
         os.makedirs(out_path, exist_ok=True)
+        # collect the missing indices with their seeds/labels first, then
+        # run the machine in `batch`-sized groups exactly like the non-fill
+        # loop below (one seed per sweep wastes the batched machine design)
+        todo = []
         i = 0
         while _exists(os.path.join(seed_dir, f"{i:04d}")):
             if not _exists(os.path.join(out_path, f"{i:04d}")):
-                s = load_array(os.path.join(seed_dir, f"{i:04d}"))
-                s = _nchw_to_nhwc_if_needed(s, in_channels)
+                s = _nchw_to_nhwc_if_needed(
+                    load_array(os.path.join(seed_dir, f"{i:04d}")), in_channels
+                )
                 label = None
                 if conditional:
-                    label = int(np.asarray(load_array(os.path.join(lab_dir, f"{i:04d}"))).reshape(-1)[0])
-                out = machine(jnp.asarray(s), label=label)
-                save_array(os.path.join(out_path, f"{i:04d}"), np.asarray(out), fmt)
-                produced += 1
+                    lab_raw = load_array(os.path.join(lab_dir, f"{i:04d}"))
+                    if lab_raw is None:
+                        raise FileNotFoundError(
+                            f"labels/{i:04d} missing for conditional --fill "
+                            f"under {out_dir}"
+                        )
+                    label = int(np.asarray(lab_raw).reshape(-1)[0])
+                todo.append((i, jnp.asarray(s), label))
             i += 1
+
+        def write(j, out_row):
+            save_array(os.path.join(out_path, f"{j:04d}"), out_row, fmt)
+
+        bsz = max(batch, 1)
+        for start in range(0, len(todo), bsz):
+            chunk = todo[start : start + bsz]
+            if conditional:
+                if getattr(machine.backbone, "supports_vector_label", False):
+                    x = jnp.concatenate([s for _, s, _ in chunk], axis=0)
+                    labs = jnp.asarray([l for _, _, l in chunk], jnp.int32)
+                    out = np.asarray(machine(x, label=labs))
+                    for row, (j, _, _) in enumerate(chunk):
+                        write(j, out[row : row + 1])
+                else:
+                    by_label = {}
+                    for pos, (_, _, l) in enumerate(chunk):
+                        by_label.setdefault(l, []).append(pos)
+                    for l, poss in by_label.items():
+                        x = jnp.concatenate(
+                            [chunk[p][1] for p in poss], axis=0
+                        )
+                        out = np.asarray(machine(x, label=l))
+                        for row, p in enumerate(poss):
+                            write(chunk[p][0], out[row : row + 1])
+            else:
+                x = jnp.concatenate([s for _, s, _ in chunk], axis=0)
+                out = np.asarray(machine(x))
+                for row, (j, _, _) in enumerate(chunk):
+                    write(j, out[row : row + 1])
+            produced += len(chunk)
         return produced
 
     min_iter = 0
@@ -157,10 +197,6 @@ def generate_els_samples(
     else:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
-        os.makedirs(seed_dir)
-        os.makedirs(out_path)
-        if conditional:
-            os.makedirs(lab_dir)
     os.makedirs(seed_dir, exist_ok=True)
     os.makedirs(out_path, exist_ok=True)
     if conditional:
@@ -238,18 +274,25 @@ def evaluate_correlations(
     seeds, labels, theo, ideal = [], [], [], []
     n = 0
     while _exists(os.path.join(seed_dir, f"{n:04d}")):
-        s = _nchw_to_nhwc_if_needed(load_array(os.path.join(seed_dir, f"{n:04d}")), channels)
-        th = _nchw_to_nhwc_if_needed(load_array(os.path.join(out_dir, f"{n:04d}")), channels)
-        idl = _nchw_to_nhwc_if_needed(load_array(os.path.join(ideal_dir, f"{n:04d}")), channels)
-        if th is None or idl is None:
-            break
+        s_raw = load_array(os.path.join(seed_dir, f"{n:04d}"))
+        th_raw = load_array(os.path.join(out_dir, f"{n:04d}"))
+        idl_raw = load_array(os.path.join(ideal_dir, f"{n:04d}"))
+        if th_raw is None or idl_raw is None:
+            break  # evaluate the complete prefix (partial fill / no ideal run)
+        s = _nchw_to_nhwc_if_needed(s_raw, channels)
+        th = _nchw_to_nhwc_if_needed(th_raw, channels)
+        idl = _nchw_to_nhwc_if_needed(idl_raw, channels)
         seeds.append(s.reshape(s.shape[-3], s.shape[-2], s.shape[-1]) if s.ndim == 4 else s)
         theo.append(th)
         ideal.append(idl)
         if conditional:
-            labels.append(
-                int(np.asarray(load_array(os.path.join(lab_dir, f"{n:04d}"))).reshape(-1)[0])
-            )
+            lab_raw = load_array(os.path.join(lab_dir, f"{n:04d}"))
+            if lab_raw is None:
+                raise FileNotFoundError(
+                    f"labels/{n:04d} missing for --conditional evaluation "
+                    f"under {exp_dir}"
+                )
+            labels.append(int(np.asarray(lab_raw).reshape(-1)[0]))
         n += 1
     if n == 0:
         raise FileNotFoundError(f"no complete sample set under {exp_dir}")

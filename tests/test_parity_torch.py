@@ -155,3 +155,38 @@ class TestSamplerParity:
         expect = nhwc(z["out_ddpm0"])
         atol = 2e-5 * max(np.abs(expect).max(), 1.0)
         np.testing.assert_allclose(np.asarray(x), expect, atol=atol)
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 5])
+@pytest.mark.parametrize("mode", ["zeros", "circular"])
+def test_padded_conv_same_matches_torch_even_and_odd_k(k, mode):
+    """torch 'same' pads k-1 total, floor-left/ceil-right — asymmetric for
+    EVEN kernels (regression: a symmetric 2*(k//2) pad grew even-k outputs
+    by one pixel)."""
+    import flax
+    import torch
+    import torch.nn as tnn
+
+    from convolutional_diffusion_tpu.models.layers import PaddedConv
+
+    rs = np.random.RandomState(0)
+    x = rs.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    tconv = tnn.Conv2d(3, 4, k, padding="same", padding_mode=mode)
+    w = tconv.weight.detach().numpy()
+    b = tconv.bias.detach().numpy()
+    m = PaddedConv(features=4, kernel_size=k, mode=mode)
+    init = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat = flax.traverse_util.flatten_dict(init)
+    for path in list(flat):
+        if path[-1] == "kernel":
+            flat[path] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+        elif path[-1] == "bias":
+            flat[path] = jnp.asarray(b)
+    params = flax.traverse_util.unflatten_dict(flat)
+    ours = np.asarray(m.apply(params, jnp.asarray(x)))
+    theirs = np.transpose(
+        tconv(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).detach().numpy(),
+        (0, 2, 3, 1),
+    )
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
