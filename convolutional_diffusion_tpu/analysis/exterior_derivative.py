@@ -86,14 +86,20 @@ def is_exact(df: jnp.ndarray, tol: float = 1e-6) -> bool:
 class ExteriorDerivative:
     """Pipeline-transform wrapper (reference `ExteriorDerivative` class,
     exterior_derivative.py:147-171): holds a field fn and exposes callable
-    df computation, for composing into analysis pipelines."""
+    df computation, for composing into analysis pipelines.
+
+    The fn contract follows `flatten` for EVERY input rank (routing by
+    input ndim would silently demand two incompatible signatures from one
+    object): flatten=True (default) takes a BATCHED model-style fn
+    [b, *dims] -> [b, *dims]; flatten=False takes a single-element fn
+    [n] -> [n] over already-flat [b, n] input."""
 
     def __init__(self, fn: Callable, flatten: bool = True):
         self.fn = fn
         self.flatten = flatten
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.flatten and x.ndim > 2:
+        if self.flatten:
             return compute_exterior_derivative_nd(x, self.fn)
         return compute_exterior_derivative(x, self.fn)
 

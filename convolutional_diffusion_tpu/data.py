@@ -81,14 +81,24 @@ def get_metadata(name: str) -> dict:
 
 
 def _resize_bilinear(x: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear resize [N,h,w,c] -> [N,size,size,c] (host-side, numpy)."""
+    """Bilinear resize [N,h,w,c] -> [N,size,size,c], pinned to the host CPU
+    backend when one is registered — on the default (possibly remote-TPU)
+    backend a 60k-image resize pays the slow device->host readback for a
+    trivially host-sized computation."""
+    import contextlib
+
     import jax
 
-    return np.asarray(
-        jax.image.resize(
-            x, (x.shape[0], size, size, x.shape[3]), method="bilinear"
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # cpu platform not registered (platform pinned)
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return np.asarray(
+            jax.image.resize(
+                x, (x.shape[0], size, size, x.shape[3]), method="bilinear"
+            )
         )
-    )
 
 
 def _normalize(u8: np.ndarray) -> np.ndarray:
@@ -189,9 +199,21 @@ def _load_celeba(root: str, train: bool, image_size: int):
     want = 0 if train else 1
     if os.path.exists(part_file):
         with open(part_file) as f:
-            names = [ln.split()[0] for ln in f if int(ln.split()[1]) == want]
+            names = [
+                parts[0]
+                for parts in (ln.split() for ln in f)
+                if len(parts) >= 2 and int(parts[1]) == want
+            ]
     else:
-        names = sorted(os.listdir(img_dir))
+        # no partition file: use every image for BOTH splits (documented
+        # degradation — there is no split information to honor), skipping
+        # non-image entries (.DS_Store, subdirs, txt files)
+        exts = (".jpg", ".jpeg", ".png")
+        names = sorted(
+            n for n in os.listdir(img_dir)
+            if n.lower().endswith(exts)
+            and os.path.isfile(os.path.join(img_dir, n))
+        )
     out = np.empty((len(names), image_size, image_size, 3), np.float32)
     for i, n in enumerate(names):
         im = Image.open(os.path.join(img_dir, n)).convert("RGB").resize(
@@ -242,6 +264,10 @@ def get_dataset(
     meta = get_metadata(name if not name.startswith("synthetic") else "cifar10")
     size = image_size or meta["image_size"]
     if name.startswith("synthetic"):
+        # the validation split draws from a different seed: train=False must
+        # not be bit-identical to the training set
+        if "seed" not in synthetic_kwargs and not train:
+            synthetic_kwargs = dict(synthetic_kwargs, seed=1)
         ds = synthetic_dataset(image_size=size, **synthetic_kwargs)
         meta = dict(meta, name=name, num_channels=ds.images.shape[-1], image_size=size)
         return ds, meta

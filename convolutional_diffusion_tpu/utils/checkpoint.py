@@ -49,9 +49,17 @@ def restore_checkpoint(path: str):
     ocp = _ocp()
     path = os.path.abspath(path)
     if not os.path.basename(path).startswith("step_") and os.path.isdir(path):
+        def step_num(d):
+            # skip non-numeric step_* entries — notably orbax's interrupted
+            # -save temp dirs (step_N.orbax-checkpoint-tmp-<ts>)
+            try:
+                return int(d.split("_")[1])
+            except ValueError:
+                return None
+
         steps = sorted(
-            (d for d in os.listdir(path) if d.startswith("step_")),
-            key=lambda d: int(d.split("_")[1]),
+            (d for d in os.listdir(path) if step_num(d) is not None),
+            key=step_num,
         )
         if steps:
             path = os.path.join(path, steps[-1])

@@ -72,14 +72,16 @@ def is_available() -> bool:
     try:
         _load_lib()
         return True
-    except RuntimeError:
+    except (RuntimeError, OSError):
+        # OSError: ctypes.CDLL on a corrupt/truncated/wrong-arch .so — the
+        # feature gate must fall back silently, not crash the trainer
         return False
 
 
 class NativeLoader:
     """Prefetched shuffled batch iterator backed by the C++ runtime."""
 
-    def __init__(self, handle, batch_size: int):
+    def __init__(self, handle, batch_size: int, drop_last: bool = True):
         if not handle:
             raise RuntimeError("native loader failed to open dataset")
         self._h = handle
@@ -89,6 +91,15 @@ class NativeLoader:
         self._lib.cdtpu_loader_shape(self._h, hh, ww, cc)
         self.shape = (hh.value, ww.value, cc.value)
         self.num_samples = int(self._lib.cdtpu_loader_num_samples(self._h))
+        if drop_last and self.num_samples < batch_size:
+            # the C++ loop would otherwise serve short batches forever,
+            # violating drop_last's fixed-shape contract for jitted consumers
+            self._lib.cdtpu_loader_close(self._h)
+            self._h = None
+            raise ValueError(
+                f"dataset of {self.num_samples} samples is smaller than "
+                f"batch_size={batch_size} with drop_last=True"
+            )
 
     @classmethod
     def from_idx(cls, images_path: str, labels_path: str, *, batch_size: int = 128,
@@ -98,7 +109,7 @@ class NativeLoader:
             images_path.encode(), labels_path.encode(), batch_size, seed,
             int(drop_last),
         )
-        return cls(h, batch_size)
+        return cls(h, batch_size, drop_last)
 
     @classmethod
     def from_cifar_bins(cls, paths, *, batch_size: int = 128, seed: int = 0,
@@ -106,7 +117,7 @@ class NativeLoader:
         lib = _load_lib()
         joined = ";".join(paths).encode()
         h = lib.cdtpu_loader_open_cifar(joined, batch_size, seed, int(drop_last))
-        return cls(h, batch_size)
+        return cls(h, batch_size, drop_last)
 
     @classmethod
     def from_arrays(cls, images_u8: np.ndarray, labels: np.ndarray, *,
@@ -122,7 +133,7 @@ class NativeLoader:
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n, h, w, c, batch_size, seed, int(drop_last),
         )
-        return cls(handle, batch_size)
+        return cls(handle, batch_size, drop_last)
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
         """Next prefetched batch: float32 [b, h, w, c] in [-1, 1], int32 [b]."""

@@ -45,8 +45,6 @@ class Timer:
         self.laps = []
 
     def time(self, fn: Callable, *args, iters: int = 1, warmup: int = 1):
-        import numpy as np
-
         for _ in range(warmup):
             jax.device_get(fn(*args))
         t0 = time.perf_counter()

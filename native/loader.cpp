@@ -195,6 +195,12 @@ void* cdtpu_loader_open_idx(const char* images_path, const char* labels_path,
     delete L;
     return nullptr;
   }
+  // a label file from a different split (e.g. 10k test labels with 60k
+  // train images) would make fill_batch read labels out of bounds
+  if (static_cast<int64_t>(L->ds.labels.size()) != L->ds.n) {
+    delete L;
+    return nullptr;
+  }
   L->batch_size = batch_size;
   L->seed = seed;
   L->drop_last = drop_last != 0;
