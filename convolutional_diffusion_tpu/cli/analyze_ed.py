@@ -105,11 +105,15 @@ def main(argv=None):
     # jacrev differentiates through the sweep and the fused Pallas kernel has
     # no VJP — the jnp path is the differentiable one (same math).
     bbels = LocalEquivBordersScoreModule(
-        (images[: args.max_samples], ds.labels[: args.max_samples]),
+        (images, ds.labels),
         kernel_size=args.kernel_size,
         batch_size=args.scorebatchsize,
         image_size=image_size,
         schedule=cosine_noise_schedule,
+        # the module's BATCH_QUOTA cutoff (i*batch_size <= max_samples)
+        # reproduces the reference exactly; pre-slicing the dataset would
+        # change the processed count and the last-batch composition
+        max_samples=args.max_samples,
         use_pallas=False,
     )
     models["bbels"] = lambda t, x: bbels(t, x, k=args.kernel_size)
@@ -145,8 +149,15 @@ def main(argv=None):
     # warm each model EAGERLY once so module-internal caches (patch banks,
     # jitted kernels) hold concrete arrays, not tracers from the outer jit
     warm_x = jnp.zeros((1, image_size, image_size, channels))
+    bad = []
     for name, fn in models.items():
-        jax.block_until_ready(fn(1.0, warm_x))
+        try:
+            jax.block_until_ready(fn(1.0, warm_x))
+        except Exception as e:  # e.g. a conditional checkpoint needing labels
+            print(f"skipping {name}: warm-up failed ({e!r})")
+            bad.append(name)
+    for name in bad:
+        del models[name]
 
     steps_jit = {
         name: make_step(fn, name == "bbels") for name, fn in models.items()
@@ -166,6 +177,9 @@ def main(argv=None):
             finals[name] = np.asarray(x[0])
             print(f"realization {r}: {name} done")
 
+    # per-dataset subdirectory like the reference (analyze_exterior_
+    # derivative.py: output_dir / dataset) so runs don't clobber each other
+    args.results = os.path.join(args.results, args.dataset)
     os.makedirs(args.results, exist_ok=True)
     steps = np.arange(nsteps, 0, -1)
 
@@ -287,8 +301,6 @@ def main(argv=None):
         for name, vals in results.items()
     }
     with open(os.path.join(args.results, "summary_stats.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-    with open(os.path.join(args.results, "ed_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(f"wrote ed_analysis_single.png/.npz"
           + (", ed_analysis_aggregated.png/.npz" if n_real > 1 else "")

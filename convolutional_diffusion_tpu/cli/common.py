@@ -172,15 +172,42 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
             max_samples=max_samples, precision=precision,
             bank_ledger=bank_ledger, **blk,
         )
+    # the reference els_script passes max_samples ONLY to ELS/bbELS
+    # (els_script.py:69-96); LS/IS run batch_size=len(dataset), and a
+    # max_samples below n would FILTER-exclude that single batch entirely
+    # (all-zero weights -> NaN scores)
     if kind == "LS":
         return LocalScoreModule(
             dataset_tuple, kernel_size=kernel_size, batch_size=n,
-            image_size=image_size, schedule=schedule, max_samples=max_samples,
+            image_size=image_size, schedule=schedule,
             precision=precision,
         )
     if kind == "IS":
         return IdealScoreModule(
             dataset_tuple, batch_size=n, image_size=image_size,
-            schedule=schedule, max_samples=max_samples, precision=precision,
+            schedule=schedule, precision=precision,
         )
     raise ValueError(f"Unknown scoremoduletype: {kind}")
+
+
+def export_torch_state_dict(params, backbone_is_resnet: bool, *,
+                            layers: int, nonorm: bool, conditional: bool,
+                            path: str, log=print):
+    """Export trained params as a reference-loadable torch state_dict
+    (shared by the 32x32 and 64x64 train CLIs)."""
+    from .. import convert
+
+    normal = None if nonorm else "GroupNorm"
+    p = params["params"] if isinstance(params, dict) and "params" in params else params
+    if backbone_is_resnet:
+        sd = convert.resnet_state_dict_from_params(
+            p, num_layers=layers, normalization=normal,
+            conditional=conditional,
+        )
+    else:
+        sd = convert.unet_state_dict_from_params(
+            params, n_feature_blocks=layers - 1,
+            normalization=normal, conditional=conditional,
+        )
+    convert.save_torch_state_dict(sd, path)
+    log(f"exported torch state_dict to {path}")

@@ -23,7 +23,11 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="samples.png")
     parser.add_argument("--save_arrays", type=str, default=None)
-    parser.add_argument("--clip", action="store_true", default=True)
+    import argparse as _ap
+
+    parser.add_argument("--clip", action=_ap.BooleanOptionalAction,
+                        default=True,
+                        help="clip samples to [-1, 1] (--no-clip disables)")
     parser.add_argument("--ndevices", type=int, default=0)
     parser.add_argument("--cpu", action="store_true", default=False,
                         help="force the CPU backend (the TPU platform is "

@@ -114,22 +114,13 @@ def main(argv=None):
                     step=final_step, extra=meta_cfg)
     log(f"saved final checkpoint under {ckpt_dir}")
     if args.export_torch:
-        from .. import convert
+        from .common import export_torch_state_dict
 
-        normal = None if args.nonorm else "GroupNorm"
-        p = params["params"] if isinstance(params, dict) and "params" in params else params
-        if args.resnet:
-            sd = convert.resnet_state_dict_from_params(
-                p, num_layers=args.layers, normalization=normal,
-                conditional=args.conditional,
-            )
-        else:
-            sd = convert.unet_state_dict_from_params(
-                params, n_feature_blocks=args.layers - 1,
-                normalization=normal, conditional=args.conditional,
-            )
-        convert.save_torch_state_dict(sd, args.export_torch)
-        log(f"exported torch state_dict to {args.export_torch}")
+        export_torch_state_dict(
+            params, args.resnet,
+            layers=args.layers, nonorm=args.nonorm,
+            conditional=args.conditional, path=args.export_torch, log=log,
+        )
 
 
 if __name__ == "__main__":

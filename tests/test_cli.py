@@ -154,8 +154,9 @@ def test_analyze_ed_end_to_end(tmp_path):
         "--image_size", "8", "--max_samples", "16", "--kernel_size", "3",
         "--scorebatchsize", "16", "--single", "--checkpoints", str(tmp_path),
     ])
-    # reference-parity artifact names (analyze_exterior_derivative.py
-    # _plot_single_results / _save_aggregated_results)
-    assert os.path.exists(os.path.join(results, "summary_stats.json"))
-    assert os.path.exists(os.path.join(results, "ed_analysis_single.png"))
-    assert os.path.exists(os.path.join(results, "ed_analysis_single.npz"))
+    # reference-parity artifact names under the per-dataset subdirectory
+    # (analyze_exterior_derivative.py: output_dir / dataset)
+    out = os.path.join(results, "synthetic")
+    assert os.path.exists(os.path.join(out, "summary_stats.json"))
+    assert os.path.exists(os.path.join(out, "ed_analysis_single.png"))
+    assert os.path.exists(os.path.join(out, "ed_analysis_single.npz"))
