@@ -93,15 +93,29 @@ def calibrate(
                     # all seeds, all labels, one sweep
                     ke = mod(float(i / nsteps), x, label=labels, k=k)
                 else:
-                    # group seeds by label so each sweep is still batched
+                    # group seeds by label so each sweep is still batched;
+                    # pad every group to the LARGEST group so all groups
+                    # (and all steps) share one compiled x-shape per k —
+                    # distinct group sizes would each cost a ~1-3 min
+                    # remote compile
                     ke = jnp.zeros_like(x)
                     labs_np = np.asarray(labels)
-                    for lab in np.unique(labs_np):
-                        sel = np.nonzero(labs_np == lab)[0]
-                        est = mod(
-                            float(i / nsteps), x[sel], label=int(lab), k=k
-                        )
-                        ke = ke.at[sel].set(est)
+                    groups = {
+                        int(lab): np.nonzero(labs_np == lab)[0]
+                        for lab in np.unique(labs_np)
+                    }
+                    gmax = max(len(v) for v in groups.values())
+                    for lab, sel in groups.items():
+                        xg = x[sel]
+                        if len(sel) < gmax:
+                            xg = jnp.concatenate([
+                                xg,
+                                jnp.zeros(
+                                    (gmax - len(sel), *x.shape[1:]), x.dtype
+                                ),
+                            ])
+                        est = mod(float(i / nsteps), xg, label=lab, k=k)
+                        ke = ke.at[sel].set(est[: len(sel)])
             else:
                 ke = mod(float(i / nsteps), x, k=k)
             flat_c = cnn_score.reshape(nsamps, -1)

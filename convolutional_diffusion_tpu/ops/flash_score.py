@@ -259,6 +259,10 @@ def flash_score_update(
     # the q/k tiles + the [BQ, BP] logit/e tiles in ~16 MB of VMEM
     dp_est = _round_up(d, 128)
     big = 1024 if dp_est <= 256 else 256
+    # policy: small d -> up to 1024x1024 blocks (measured ~13% faster for
+    # large sweeps); large d -> fixed 256x512 (the q/k tiles + the [BQ,BP]
+    # logit/e tiles must fit ~16 MB of VMEM; for big=256 the min() terms
+    # below pin block_q=256 / block_p=512 exactly)
     if block_q is None:
         block_q = max(256, min(big, _round_up(M, 256)))
     if block_p is None:
@@ -336,6 +340,10 @@ def flash_score_update(
     if v_strategy == "mxu1":
         s2p = s2p.at[:M, c].set(s10)  # s1 rides the s2 tile's lane c
 
+    # NOTE: lane [0,1] (inv2bt2) is vestigial — the per-query softmax
+    # offset moved to the wrapper's m shift and the kernel reads only
+    # [0,0]. Kept in place because shrinking the operand would change the
+    # kernel HLO and invalidate every cached compile for zero benefit.
     scale = jnp.stack([2.0 * at * inv2bt2 * LOG2E, inv2bt2]).reshape(1, 2)
 
     grid = (Mp // block_q, Pp // block_p)

@@ -19,7 +19,6 @@ __all__ = [
     "pad_image",
     "center_index",
     "patch_centers",
-    "flatten_patches",
 ]
 
 
@@ -43,7 +42,12 @@ def pad_image(x: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
     """Spatially pad NHWC x by `pad` on all sides ('circular' or 'zeros')."""
     if pad == 0:
         return x
-    jmode = {"circular": "wrap", "zeros": "constant"}[mode]
+    try:
+        jmode = {"circular": "wrap", "zeros": "constant"}[mode]
+    except KeyError:
+        raise ValueError(
+            f"mode must be 'circular' or 'zeros', got {mode!r}"
+        ) from None
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=jmode)
 
 
@@ -58,8 +62,3 @@ def patch_centers(patches: jnp.ndarray, k: int, c: int) -> jnp.ndarray:
     """[..., k*k*c] patches -> [..., c] center-pixel values."""
     return patches[..., center_index(k, c)]
 
-
-def flatten_patches(patches: jnp.ndarray) -> jnp.ndarray:
-    """[n, hp, wp, d] -> [n*hp*wp, d]."""
-    n, hp, wp, d = patches.shape
-    return patches.reshape(n * hp * wp, d)
