@@ -1,6 +1,10 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark harness — prints JSON lines of the form
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
+
+A cumulative line is re-emitted after every completed measurement (the
+driver reads the LAST line, so a wall-clock kill loses only the unfinished
+tail of `details`, never the headline).
 
 Headline metric (BASELINE.json): CIFAR10 images/sec/chip for 1000-step DDPM
 sampling on the flagship model (8-layer emb-256 conditional MinimalResNet,
@@ -68,6 +72,8 @@ def time_fn(fn, *args, warmup=1, iters=1):
 def bench_ddpm(batch=64, nsteps=1000, precision=None, iters=3):
     """precision=None -> TPU-native bf16 MXU matmuls with fp32 accumulation;
     precision='highest' -> full fp32 (the parity configuration)."""
+    batch = int(os.environ.get("BENCH_DDPM_BATCH", batch))  # smoke-test knob
+    nsteps = int(os.environ.get("BENCH_DDPM_STEPS", nsteps))
     from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
     from convolutional_diffusion_tpu.sampling import make_sampler
 
@@ -133,6 +139,8 @@ def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
 
 def bench_train(batch=128, iters=20):
     """One flagship training step (fwd+bwd+AdamW), README recipe batch 128."""
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", batch))  # smoke-test knob
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", iters))
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
     from convolutional_diffusion_tpu.training import (
@@ -176,19 +184,65 @@ def bench_train(batch=128, iters=20):
 
 
 def main():
+    # The driver runs this under a wall-clock cap and reads the LAST JSON
+    # line of stdout. A cumulative line is therefore re-emitted (flushed)
+    # after EVERY completed measurement: a timeout loses only the unfinished
+    # tail items, never the headline (round 2 lost everything to rc=124).
     details = {}
+    vs = None
+
+    def emit(headline_ips):
+        print(
+            json.dumps(
+                {
+                    "metric": "cifar10_ddpm_1000step_sampling_throughput",
+                    "value": round(headline_ips, 3),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": vs,
+                    "details": details,
+                }
+            ),
+            flush=True,
+        )
+
+    cache_warm = os.path.isdir(_cache_dir) and bool(os.listdir(_cache_dir))
+    if not cache_warm:
+        # a cold cache pays minutes of remote compiles per jit variant; the
+        # driver's window may only cover the headline — note it for the log
+        details["cold_compile_cache"] = True
+
     # Headline: bf16-MXU (TPU-native), 3 fenced iterations.
     ddpm_ips, tflops = bench_ddpm(precision=None)
     details["ddpm_1000step_images_per_sec_bf16mxu"] = round(ddpm_ips, 3)
     details["ddpm_sustained_tflops"] = round(tflops, 1)
     details["ddpm_mfu_vs_197tflops_peak"] = round(tflops / V5E_PEAK_TFLOPS, 3)
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("ddpm_1000step_images_per_sec")
+        if ref:
+            vs = round(ddpm_ips / ref, 3)
+            details["baseline_source"] = base.get("source", "torch reference")
+    emit(ddpm_ips)
+
     # fp32 'highest' — the <1e-3 torch-parity configuration
     try:
-        fp32_ips, fp32_tflops = bench_ddpm(precision="highest", iters=1)
+        fp32_ips, fp32_tflops = bench_ddpm(precision="highest", iters=3)
         details["ddpm_1000step_images_per_sec_fp32_parity"] = round(fp32_ips, 3)
         details["ddpm_fp32_sustained_tflops"] = round(fp32_tflops, 1)
     except Exception as e:  # pragma: no cover
         details["ddpm_fp32_error"] = repr(e)
+    emit(ddpm_ips)
+
+    # training throughput (flagship recipe, batch 128, bf16 MXU) — cheap,
+    # so it runs BEFORE the multi-minute ELS variants
+    try:
+        details["train_step_images_per_sec"] = round(bench_train(), 1)
+    except Exception as e:  # pragma: no cover
+        details["train_error"] = repr(e)[:300]
+    emit(ddpm_ips)
 
     # Reference-scale analytic machines (50k bank, 20-step CIFAR10 scales).
     # Each variant runs in a SUBPROCESS with a hard timeout: a cold cache
@@ -200,22 +254,27 @@ def main():
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
-    # ordered by information value: if BENCH_BUDGET_S truncates the loop,
-    # the dropped tail ('fast' ~= 'high' throughput) costs the least
-    for kind, precision, tag in (
-        ("ELS", "highest", "els_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "high", "els_20step_50kbank_images_per_sec_bf16x3"),
-        ("bbELS", "highest", "bbels_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "default", "els_20step_50kbank_images_per_sec_fast"),
-    ):
+    # ordered by information value: if the budget (or the driver's cap)
+    # truncates the loop, the dropped tail costs the least. The last two
+    # entries measure per-chip CAPACITY (throughput-optimal seed batch)
+    # rather than reference-like batch-8 latency.
+    variants = [
+        ("ELS", "highest", 0, "els_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "high", 0, "els_20step_50kbank_images_per_sec_bf16x3"),
+        ("bbELS", "highest", 0, "bbels_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "high", 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
+        ("ELS", "default", 0, "els_20step_50kbank_images_per_sec_fast"),
+    ]
+    for kind, precision, batch, tag in variants:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 120:
             details[tag + "_skipped"] = "over BENCH_BUDGET_S"
+            emit(ddpm_ips)
             continue
         try:
             proc = subprocess.run(
                 [_sys.executable, os.path.abspath(__file__), "--els-only",
-                 kind, precision],
+                 kind, precision, str(batch)],
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -229,41 +288,16 @@ def main():
             details[tag + "_error"] = f"timeout after {remaining:.0f}s"
         except Exception as e:  # pragma: no cover
             details[tag + "_error"] = repr(e)[:300]
-
-    # training throughput (flagship recipe, batch 128, bf16 MXU)
-    try:
-        details["train_step_images_per_sec"] = round(bench_train(), 1)
-    except Exception as e:  # pragma: no cover
-        details["train_error"] = repr(e)[:300]
-
-    vs = None
-    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
-        ref = base.get("ddpm_1000step_images_per_sec")
-        if ref:
-            vs = round(ddpm_ips / ref, 3)
-            details["baseline_source"] = base.get("source", "torch reference")
-
-    print(
-        json.dumps(
-            {
-                "metric": "cifar10_ddpm_1000step_sampling_throughput",
-                "value": round(ddpm_ips, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": vs,
-                "details": details,
-            }
-        )
-    )
+        emit(ddpm_ips)
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--els-only":
-        # subprocess entry: one ELS/bbELS variant, one JSON line on stdout
+        # subprocess entry: one ELS/bbELS variant, one JSON line on stdout;
+        # argv[4] (optional) overrides the seed batch (0 = default/env)
         try:
-            ips = bench_els(sys.argv[2], precision=sys.argv[3])
+            b = int(sys.argv[4]) if len(sys.argv) >= 5 else 0
+            ips = bench_els(sys.argv[2], batch=b or None, precision=sys.argv[3])
             print(json.dumps({"ips": ips}))
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}))
