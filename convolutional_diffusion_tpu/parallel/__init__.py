@@ -2,8 +2,10 @@
 
 from .mesh import data_spec, make_mesh, replicate, shard_batch
 from .sharded_score import (
+    ShardedIdealScoreModule,
     ShardedLocalEquivBordersScoreModule,
     ShardedLocalEquivScoreModule,
+    ShardedLocalScoreModule,
     merge_collective,
     shard_dataset,
 )
@@ -13,6 +15,8 @@ __all__ = [
     "data_spec",
     "shard_batch",
     "replicate",
+    "ShardedIdealScoreModule",
+    "ShardedLocalScoreModule",
     "ShardedLocalEquivScoreModule",
     "ShardedLocalEquivBordersScoreModule",
     "merge_collective",

@@ -26,6 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..scores.bbels import LocalEquivBordersScoreModule
 from ..scores.els import LocalEquivScoreModule
+from ..scores.ideal import IdealScoreModule
+from ..scores.local import LocalScoreModule
 
 
 def merge_collective(m, s1, s2, axis_name: str):
@@ -88,6 +90,32 @@ class ShardedLocalEquivBordersScoreModule(LocalEquivBordersScoreModule):
         # the precomputed-bank fast path is single-device; the sharded sweep
         # extracts per-shard banks inside shard_map
         return None
+
+
+class ShardedIdealScoreModule(IdealScoreModule):
+    """IS with the training set sharded over a mesh 'data' axis: each device
+    sweeps its image shard through the whole-image online softmax, then the
+    per-seed states merge with the same pmax/psum combine. Semantics
+    identical to IdealScoreModule (weights computed globally, FILTERED
+    cutoff)."""
+
+    def __init__(self, dataset, *, mesh: Mesh, axis: str = "data", **kw):
+        self.mesh = mesh
+        self.axis = axis
+        super().__init__(dataset, **kw)
+
+
+class ShardedLocalScoreModule(LocalScoreModule):
+    """LS with the training set sharded over a mesh 'data' axis: each device
+    box-filters and sweeps its image shard, then the per-pixel states merge
+    with pmax/psum. Semantics identical to LocalScoreModule (incl. its
+    shuffle=True default — the permutation is resolved globally before
+    sharding)."""
+
+    def __init__(self, dataset, *, mesh: Mesh, axis: str = "data", **kw):
+        self.mesh = mesh
+        self.axis = axis
+        super().__init__(dataset, **kw)
 
 
 def shard_dataset(images, labels, mesh: Mesh, axis: str = "data"):

@@ -41,6 +41,13 @@ class IdealScoreModule(ScoreModuleBase):
         cs = self.chunk_size
         batch_size = self.batch_size
         max_samples = self.max_samples
+        # mesh-aware (set by parallel.ShardedIdealScoreModule): weights are
+        # computed GLOBALLY, then the dataset shards over the mesh axis and
+        # each device's partial softmax state merges with pmax/psum — the
+        # same pattern as the ELS/bbELS sharded sweeps
+        mesh = getattr(self, "mesh", None)
+        shard_axis = getattr(self, "axis", "data")
+        n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
         def fn(images, labels, order, x, lab, at, bt):
             n = images.shape[0]
@@ -54,29 +61,59 @@ class IdealScoreModule(ScoreModuleBase):
                 weighting=Weighting.MEAN,
                 order=order,
             )
-            pad = (-n) % cs
+            pad = (-n) % (n_dev * cs)
             imgs_flat = jnp.concatenate(
                 [images.reshape(n, d), jnp.zeros((pad, d), images.dtype)]
             )
             w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
-            imgs_flat = imgs_flat.reshape(-1, cs, d)
-            w = w.reshape(-1, cs)
-            img_norms = jnp.sum(imgs_flat**2, axis=-1)
+            imgs_flat = imgs_flat.reshape(
+                (n_dev, -1, cs, d) if mesh is not None else (-1, cs, d)
+            )
+            w = w.reshape((n_dev, -1, cs) if mesh is not None else (-1, cs))
 
             b = x.shape[0]
             xf = x.reshape(b, d)
             xn = jnp.sum(xf**2, axis=-1)
             beta2 = 2.0 * bt**2
 
-            def step(state, chunk):
-                imgs_c, w_c, n_c = chunk
-                dots = jnp.dot(xf, imgs_c.T, precision=self.prec)  # [b, cs]
-                logits = -(xn[:, None] - 2.0 * at * dots + at**2 * n_c[None, :]) / beta2
-                return update_state(state, logits, w_c[None, :], imgs_c), None
+            def sweep(imgs_p, w_p):
+                img_norms = jnp.sum(imgs_p**2, axis=-1)
 
-            state = init_state((b,), d)
-            state, _ = jax.lax.scan(step, state, (imgs_flat, w, img_norms))
-            mean_img = state.s2 / state.s1[:, None]
+                def step(state, chunk):
+                    imgs_c, w_c, n_c = chunk
+                    dots = jnp.dot(xf, imgs_c.T, precision=self.prec)  # [b, cs]
+                    logits = (
+                        -(xn[:, None] - 2.0 * at * dots + at**2 * n_c[None, :])
+                        / beta2
+                    )
+                    return update_state(state, logits, w_c[None, :], imgs_c), None
+
+                state = init_state((b,), d)
+                state, _ = jax.lax.scan(step, state, (imgs_p, w_p, img_norms))
+                return state
+
+            if mesh is None:
+                state = sweep(imgs_flat, w)
+                s1_, s2_ = state.s1, state.s2
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded_score import merge_collective
+
+                def local(imgs_s, w_s):
+                    st = sweep(imgs_s[0], w_s[0])
+                    _, s1_, s2_ = merge_collective(st.m, st.s1, st.s2, shard_axis)
+                    return s1_, s2_
+
+                s1_, s2_ = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(shard_axis), P(shard_axis)),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )(imgs_flat, w)
+
+            mean_img = s2_ / s1_[:, None]
             score = -(xf - at * mean_img) / (bt**2)
             return score.reshape(x.shape)
 

@@ -55,6 +55,12 @@ class LocalScoreModule(ScoreModuleBase):
         batch_size = self.batch_size
         max_samples = self.max_samples
         cs = min(self.chunk_size, 64)
+        # mesh-aware (set by parallel.ShardedLocalScoreModule): weights are
+        # computed GLOBALLY, the dataset shards over the mesh axis, and each
+        # device's partial per-pixel softmax state merges with pmax/psum
+        mesh = getattr(self, "mesh", None)
+        shard_axis = getattr(self, "axis", "data")
+        n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
         def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
@@ -69,12 +75,15 @@ class LocalScoreModule(ScoreModuleBase):
             )
             # chunks stream FLATTENED ([cs, h*w*c]): a c=3-minor scan operand
             # would be layout-padded to 128 lanes (42x HBM bloat; see els_sweep)
-            pad = (-n) % cs
+            pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
                 [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
-            ).reshape(-1, cs, h * w * c)
+            ).reshape(
+                (n_dev, -1, cs, h * w * c) if mesh is not None
+                else (-1, cs, h * w * c)
+            )
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
-                -1, cs
+                (n_dev, -1, cs) if mesh is not None else (-1, cs)
             )
 
             b = x.shape[0]
@@ -102,10 +111,33 @@ class LocalScoreModule(ScoreModuleBase):
                     None,
                 )
 
-            state = init_state((b, h, w), c)
-            state, _ = jax.lax.scan(step, state, (images_p, w_img_p))
+            if mesh is None:
+                state, _ = jax.lax.scan(
+                    step, init_state((b, h, w), c), (images_p, w_img_p)
+                )
+                s1_, s2_ = state.s1, state.s2
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded_score import merge_collective
+
+                def local(imgs_s, w_s):
+                    st, _ = jax.lax.scan(
+                        step, init_state((b, h, w), c), (imgs_s[0], w_s[0])
+                    )
+                    _, s1_, s2_ = merge_collective(st.m, st.s1, st.s2, shard_axis)
+                    return s1_, s2_
+
+                s1_, s2_ = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(shard_axis), P(shard_axis)),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )(images_p, w_img_p)
+
             # values here are already the diffs, so num/den IS the mean diff:
-            score = -(state.s2 / state.s1[..., None]) / (bt**2)
+            score = -(s2_ / s1_[..., None]) / (bt**2)
             return score
 
         return jax.jit(fn)

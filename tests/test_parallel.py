@@ -133,3 +133,43 @@ def test_sharded_els_rejects_vector_label():
     assert not mod.supports_vector_label
     with pytest.raises(ValueError, match="scalar label"):
         mod(0.5, jnp.zeros((2, 8, 8, 1)), label=np.array([0, 1]))
+
+
+def test_sharded_is_matches_single_device(data):
+    """Round-3 VERDICT item 7: dataset-sharded IS == single-device on the
+    8-device mesh (same FILTERED cutoff + label semantics)."""
+    from convolutional_diffusion_tpu.parallel.sharded_score import (
+        ShardedIdealScoreModule,
+    )
+    from convolutional_diffusion_tpu.scores import IdealScoreModule
+
+    images, labels, x = data
+    mesh = make_mesh(8)
+    kw = dict(batch_size=10, schedule=cosine_noise_schedule, max_samples=30)
+    single = IdealScoreModule((images, labels), **kw)
+    sharded = ShardedIdealScoreModule((images, labels), mesh=mesh, **kw)
+    for t, lab in ((0.3, None), (0.6, 1)):
+        a = np.asarray(single(t, x, label=lab))
+        b = np.asarray(sharded(t, x, label=lab))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_ls_matches_single_device(data):
+    """Dataset-sharded LS == single-device; the shuffle permutation is
+    resolved globally, so an explicit `order` pins both modules to the same
+    stream (LS defaults shuffle=True, mirroring the reference DataLoader)."""
+    from convolutional_diffusion_tpu.parallel.sharded_score import (
+        ShardedLocalScoreModule,
+    )
+    from convolutional_diffusion_tpu.scores import LocalScoreModule
+
+    images, labels, x = data
+    mesh = make_mesh(8)
+    order = np.random.RandomState(7).permutation(images.shape[0])
+    kw = dict(kernel_size=3, batch_size=10, schedule=cosine_noise_schedule,
+              max_samples=25)
+    single = LocalScoreModule((images, labels), **kw)
+    sharded = ShardedLocalScoreModule((images, labels), mesh=mesh, **kw)
+    a = np.asarray(single(0.4, x, order=order))
+    b = np.asarray(sharded(0.4, x, order=order))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)

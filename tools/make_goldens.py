@@ -471,13 +471,101 @@ def make_batchnorm_goldens():
     )
 
 
+def make_eval_goldens():
+    """Eval-correlation golden (round-3 VERDICT item 5): run the REAL
+    reference eval_script.main() (scripts/eval_script.py:57-75 — mean-center,
+    L2-normalize, inner products, medians, ELS>IS fraction) on fixture
+    seed/els_output/ideal triples + a saved whole-model pickle, and record
+    its three printed numbers. `pipeline.evaluate_correlations` must
+    reproduce them from the same fixtures."""
+    import contextlib
+    import importlib.util
+    import io
+    import tempfile
+
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from src.models import DDIM, MinimalResNet
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_eval_script", os.path.join(REFERENCE, "scripts", "eval_script.py")
+    )
+    es = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(es)
+    # get_dataset's metadata is unused by the script (eval_script.py:38);
+    # neutralize it (the torchvision stubs cannot download) + headless fig
+    es.get_dataset = lambda name: (None, {})
+    es.plt.show = lambda: None
+
+    n, c, h = 5, 3, 16
+    cases = {
+        "uncond": dict(conditional=False),
+        "cond": dict(conditional=True, num_classes=10),
+    }
+    arrays = {}
+    for tag, cfg in cases.items():
+        torch.manual_seed(7)
+        net = MinimalResNet(
+            channels=c, emb_dim=16, kernel_size=3, num_layers=2, lastksize=3,
+            mode="zeros", conditional=cfg["conditional"],
+            **({"num_classes": cfg["num_classes"]} if cfg["conditional"] else {}),
+        ).eval()
+        model = DDIM(pretrained_backbone=net, in_channels=c, default_imsize=h)
+        torch.manual_seed(19)
+        seeds = torch.randn(n, 1, c, h, h)
+        theo = torch.randn(n, 1, c, h, h) * 0.6
+        ideal = torch.randn(n, 1, c, h, h) * 0.6
+        labels = torch.randint(0, 10, (n, 1))
+        with tempfile.TemporaryDirectory() as tmp:
+            for sub in ("seeds", "els_outputs", "ideal", "labels"):
+                os.makedirs(os.path.join(tmp, sub))
+            for i in range(n):
+                torch.save(seeds[i].clone(), os.path.join(tmp, "seeds", f"{i:04d}.pt"))
+                torch.save(theo[i].clone(), os.path.join(tmp, "els_outputs", f"{i:04d}.pt"))
+                torch.save(ideal[i].clone(), os.path.join(tmp, "ideal", f"{i:04d}.pt"))
+                if cfg["conditional"]:
+                    torch.save(
+                        labels[i].clone(), os.path.join(tmp, "labels", f"{i:04d}.pt")
+                    )
+            torch.save(model, os.path.join(tmp, "model.pt"))
+            argv = [
+                "eval_script.py", "--exp_fname", tmp,
+                "--model_fname", os.path.join(tmp, "model.pt"),
+                "--dsname", "cifar10", "--figname", "corrs.png",
+            ] + (["--conditional"] if cfg["conditional"] else [])
+            old_argv, old_cwd = sys.argv, os.getcwd()
+            buf = io.StringIO()
+            try:
+                sys.argv = argv
+                os.chdir(tmp)  # the scatter figure writes to cwd
+                with torch.no_grad(), contextlib.redirect_stdout(buf):
+                    es.main()
+            finally:
+                sys.argv, _ = old_argv, os.chdir(old_cwd)
+        med_ideal, med_target, frac = (
+            float(v) for v in buf.getvalue().strip().splitlines()[:3]
+        )
+        arrays.update(sd_to_numpy(net.state_dict(), f"{tag}/sd/"))
+        arrays[f"{tag}/seeds"] = seeds[:, 0].numpy()
+        arrays[f"{tag}/theo"] = theo[:, 0].numpy()
+        arrays[f"{tag}/ideal"] = ideal[:, 0].numpy()
+        arrays[f"{tag}/labels"] = labels[:, 0].numpy()
+        arrays[f"{tag}/median_ideal"] = np.array(med_ideal)
+        arrays[f"{tag}/median_target"] = np.array(med_target)
+        arrays[f"{tag}/frac"] = np.array(frac)
+    save("eval_corrs", **arrays)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only", default=None,
-        choices=[None, "main", "cutoffs", "ddpm_moments", "batchnorm"],
+        choices=[None, "main", "cutoffs", "ddpm_moments", "batchnorm", "eval"],
     )
     a = ap.parse_args()
     if a.only in (None, "main"):
@@ -488,3 +576,5 @@ if __name__ == "__main__":
         make_ddpm_moments()
     if a.only in (None, "batchnorm"):
         make_batchnorm_goldens()
+    if a.only in (None, "eval"):
+        make_eval_goldens()

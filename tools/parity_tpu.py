@@ -1,0 +1,322 @@
+"""Hardware parity of the Mosaic-COMPILED flash-score kernel.
+
+Every golden in PARITY.md runs on CPU (tools/parity_report.py forces the cpu
+platform, where the score modules take the jnp path and the kernel tests run
+in interpret mode). This tool closes the remaining gap: it executes a
+representative golden subset on the REAL TPU with `use_pallas=True` — the
+Mosaic-lowered kernel that produces every hardware throughput number — plus
+a multi-block grid check against a float64 host reference at sizes where the
+(block_q, block_p) tiling, padding, and cross-chunk state chaining actually
+engage. Results land in the "TPU (Mosaic-compiled kernel)" section of
+PARITY.md.
+
+Run from the repo root WITHOUT forcing cpu:
+
+    python tools/parity_tpu.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+SECTION_START = "<!-- TPU-MOSAIC-START -->"
+SECTION_END = "<!-- TPU-MOSAIC-END -->"
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def dev(ours, expect):
+    a = np.abs(np.asarray(ours) - np.asarray(expect))
+    scale = max(np.abs(np.asarray(expect)).max(), 1e-12)
+    return a.max(), a.max() / scale
+
+
+def golden_cases(rows):
+    """Score-machine golden subset, executed with the compiled kernel."""
+    import jax.numpy as jnp
+
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+    from convolutional_diffusion_tpu.scores import (
+        LocalEquivBordersScoreModule,
+        LocalEquivScoreModule,
+        ScheduledScoreMachine,
+    )
+
+    z = np.load(os.path.join(GOLDEN_DIR, "scores.npz"))
+    imgs = nhwc(z["imgs"])
+    labs = z["labs"].astype(np.int32)
+    x = jnp.asarray(nhwc(z["x"]))
+    t = float(z["t"][0])
+
+    # tolerance per precision tier: 'highest' is the <1e-3 parity config;
+    # 'high' adds ~2^-16 relative dot error; 'default' bf16-exp ~ 1e-2
+    tiers = (("highest", 1e-3), ("high", 1e-3), ("default", 2e-2))
+
+    for precision, tol in tiers:
+        for k in (3, 5):
+            mod = LocalEquivScoreModule(
+                (imgs, labs), kernel_size=k, batch_size=5,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision=precision,
+            )
+            mx, rel = dev(mod(t, x), nhwc(z[f"els/k{k}b5/out"]))
+            rows.append((f"ELS (pallas, {precision})", f"k={k} b=5", mx, rel, tol))
+    for precision, tol in (("highest", 1e-3),):
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule, use_pallas=True,
+            precision=precision,
+        )
+        mx, rel = dev(mod(t, x, label=2), nhwc(z["els/k3label2/out"]))
+        rows.append((f"ELS (pallas, {precision})", "label=2", mx, rel, tol))
+        mx, rel = dev(
+            mod(t, jnp.asarray(nhwc(z["x2"]))), nhwc(z["els/k3b5x2/out"])
+        )
+        rows.append((f"ELS (pallas, {precision})", "batched x (b=2)", mx, rel, tol))
+
+        for k in (3, 5):
+            bb = LocalEquivBordersScoreModule(
+                (imgs, labs), kernel_size=k, batch_size=5,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision=precision,
+            )
+            mx, rel = dev(bb(t, x), nhwc(z[f"bbels/k{k}b5/out"]))
+            rows.append(
+                (f"bbELS (pallas, {precision})", f"k={k} b=5 (center bank)",
+                 mx, rel, tol)
+            )
+
+        scales = [int(s) for s in z["machine/scales"]]
+        mx, rel = dev(
+            ScheduledScoreMachine(
+                LocalEquivScoreModule(
+                    (imgs, labs), kernel_size=3, batch_size=6,
+                    schedule=cosine_noise_schedule, use_pallas=True,
+                    precision=precision,
+                ),
+                in_channels=3, imsize=8, scales=scales,
+            )(x),
+            nhwc(z["machine/els/out"]),
+        )
+        rows.append(
+            (f"Machine/ELS (pallas, {precision})", "5-step trajectory", mx, rel, tol)
+        )
+        mx, rel = dev(
+            ScheduledScoreMachine(
+                LocalEquivBordersScoreModule(
+                    (imgs, labs), kernel_size=3, batch_size=6,
+                    schedule=cosine_noise_schedule, use_pallas=True,
+                    precision=precision,
+                ),
+                in_channels=3, imsize=8, scales=scales,
+            )(x),
+            nhwc(z["machine/bbels/out"]),
+        )
+        rows.append(
+            (f"Machine/bbELS (pallas, {precision})", "5-step trajectory", mx, rel, tol)
+        )
+
+    # cutoff + shuffle semantics through the compiled kernel
+    zc = np.load(os.path.join(GOLDEN_DIR, "cutoffs.npz"))
+    imgs_c = nhwc(zc["imgs"])
+    labs_c = zc["labs"].astype(np.int32)
+    xc = jnp.asarray(nhwc(zc["x"]))
+    tc = float(zc["t"][0])
+    mod = LocalEquivScoreModule(
+        (imgs_c, labs_c), kernel_size=3, batch_size=5,
+        schedule=cosine_noise_schedule, use_pallas=True,
+        precision="highest", max_samples=8,
+    )
+    mx, rel = dev(mod(tc, xc), nhwc(zc["els/max8/out"]))
+    rows.append(("ELS cutoff (pallas)", "max=8", mx, rel, 1e-3))
+    mx, rel = dev(
+        mod(tc, xc, order=zc["els/max8shuf/perm"]), nhwc(zc["els/max8shuf/out"])
+    )
+    rows.append(("ELS shuffle (pallas)", "recorded perm, max=8", mx, rel, 1e-3))
+
+
+def grid_cases(rows):
+    """Multi-block grid + chunk-chaining check vs a float64 host reference.
+
+    The goldens above are 8x8 fixtures — a single (padded) kernel block. This
+    exercises the real tiling regime: M and P far above one block, neither a
+    multiple of its block size, d=75 (padded to 128), two chained chunk
+    updates, both v strategies."""
+    import jax.numpy as jnp
+
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        flash_score_update,
+        state_from_pallas,
+        state_to_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    M, d, c = 1100, 75, 3
+    P1, P2 = 70_001, 40_000  # two chained chunks, non-multiples of block_p
+    at64, bt64 = 0.9, np.sqrt(1 - 0.9**2)
+    q = rng.standard_normal((M, d)).astype(np.float32)
+    banks = [
+        rng.standard_normal((P, d)).astype(np.float32) for P in (P1, P2)
+    ]
+    ws = [rng.uniform(0.5, 1.5, P).astype(np.float32) for P in (P1, P2)]
+    # a few zero weights: excluded entries must not contribute
+    ws[0][:97] = 0.0
+
+    # float64 host reference of the chained online softmax
+    qn64 = np.sum(q.astype(np.float64) ** 2, axis=1)
+    logit_blocks, w_all, v_all = [], [], []
+    for bank, w in zip(banks, ws):
+        b64 = bank.astype(np.float64)
+        pn64 = np.sum(b64**2, axis=1)
+        logits = -(
+            qn64[:, None] - 2 * at64 * (q.astype(np.float64) @ b64.T)
+            + at64**2 * pn64
+        ) / (2 * bt64**2)
+        logit_blocks.append(logits)
+        w_all.append(w.astype(np.float64))
+        v_all.append(b64[:, 12 * c : 12 * c + c])  # center pixel (2,2) of 5x5
+    L = np.concatenate(logit_blocks, axis=1)
+    W = np.concatenate(w_all)
+    V = np.concatenate(v_all, axis=0)
+    mask = W > 0
+    m64 = np.max(np.where(mask[None, :], L, -np.inf), axis=1)
+    e64 = np.where(mask[None, :], W[None, :] * np.exp(L - m64[:, None]), 0.0)
+    s1_64 = e64.sum(axis=1)
+    s2_64 = e64 @ V
+    mean64 = s2_64 / s1_64[:, None]
+
+    at = jnp.float32(at64)
+    bt = jnp.float32(bt64)
+    qj = jnp.asarray(q)
+    qnj = jnp.sum(qj.astype(jnp.float32) ** 2, axis=1)
+
+    for precision, v_strategy, fast_exp, tol, tag in (
+        ("highest", "vpu", False, 1e-3, "fp32/vpu"),
+        ("highest", "mxu", False, 1e-3, "fp32/mxu"),
+        ("high", "vpu", False, 1e-3, "bf16x3/vpu"),
+        ("default", "mxu1", True, 2e-2, "fast/mxu1"),
+    ):
+        state = state_to_pallas(
+            jnp.full((M,), -jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.float32),
+            jnp.zeros((M, c), jnp.float32),
+        )
+        for bank, w in zip(banks, ws):
+            bj = jnp.asarray(bank)
+            state = flash_score_update(
+                qj, qnj, bj, jnp.sum(bj**2, axis=1),
+                bj[:, 12 * c : 12 * c + c], jnp.asarray(w), at, bt, state,
+                precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
+            )
+        _, s1, s2 = state_from_pallas(*state)
+        mean = np.asarray(s2) / np.asarray(s1)[:, None]
+        mx, rel = dev(mean, mean64)
+        rows.append(
+            ("Kernel grid (110k patches, 2 chunks)", tag, mx, rel, tol)
+        )
+
+
+def write_section(rows, backend, elapsed):
+    lines = [
+        SECTION_START,
+        "",
+        "## TPU (Mosaic-compiled kernel)",
+        "",
+        f"The same goldens, executed on the real TPU (`{backend}` backend)",
+        "with `use_pallas=True` — the Mosaic-lowered flash-score kernel that",
+        "produces every hardware throughput number — plus a multi-block grid",
+        "check (M=1100, P=110k over two chained chunks, d=75) against a",
+        "float64 host reference. Regenerate: `python tools/parity_tpu.py`.",
+        "",
+        "| component | case | max abs dev | max rel dev | tol | ok |",
+        "|---|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    worst_parity = 0.0
+    ok_all = True
+    for section, case, mx, rel, tol in rows:
+        ok = rel < tol
+        ok_all &= ok
+        worst = max(worst, rel)
+        if tol <= 1e-3:
+            worst_parity = max(worst_parity, rel)
+        lines.append(
+            f"| {section} | {case} | {mx:.2e} | {rel:.2e} | {tol:g} "
+            f"| {'yes' if ok else '**NO**'} |"
+        )
+    lines += [
+        "",
+        f"**Worst parity-tier (fp32/'high') relative deviation: "
+        f"{worst_parity:.2e}** (target <1e-3); worst overall incl. the "
+        f"documented fast tier: {worst:.2e}. "
+        f"{len(rows)} cases in {elapsed:.0f}s.",
+        "",
+        SECTION_END,
+    ]
+    path = os.path.join(REPO, "PARITY.md")
+    with open(path) as f:
+        text = f.read()
+    if SECTION_START in text:
+        pre = text[: text.index(SECTION_START)]
+        post = text[text.index(SECTION_END) + len(SECTION_END):]
+        text = pre + "\n".join(lines) + post
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(
+        json.dumps(
+            {
+                "backend": backend,
+                "cases": len(rows),
+                "worst_rel_parity_tier": float(worst_parity),
+                "worst_rel_overall": float(worst),
+                "all_ok": bool(ok_all),
+            }
+        )
+    )
+    return ok_all
+
+
+def main():
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print(
+            "WARNING: cpu backend — this run exercises interpret/XLA-CPU, "
+            "not the Mosaic lowering; results will NOT be written.",
+            file=sys.stderr,
+        )
+    t0 = time.time()
+    rows = []
+    grid_cases(rows)
+    golden_cases(rows)
+    elapsed = time.time() - t0
+    if backend == "cpu":
+        for r in rows:
+            print(r)
+        return 1
+    ok = write_section(rows, backend, elapsed)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
