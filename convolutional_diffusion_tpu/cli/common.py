@@ -143,12 +143,17 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
                        image_size: int, channels: int, schedule,
                        max_samples: Optional[int] = None, kernel_size: int = 3,
                        precision: str = "highest", shuffle: bool = False,
-                       bank_ledger=None, target_block: int | None = None):
+                       bank_ledger=None, target_block: int | None = None,
+                       mesh=None):
     """Score-module factory matching els_script.py:69-96 / calibration
     :91-117 (LS and IS get batch_size=len(dataset) there). `shuffle` reaches
     only the ELS module, exactly like the reference els_script (its --shuffle
     is passed solely to LocalEquivScoreModule, els_script.py:75; LS always
-    shuffles internally, bbELS/IS default off)."""
+    shuffles internally, bbELS/IS default off).
+
+    mesh: a jax.sharding.Mesh with a 'data' axis shards the training set
+    over its devices (every kind; partial softmax states merge over ICI —
+    parallel.sharded_score)."""
     from ..scores import (
         IdealScoreModule,
         LocalEquivBordersScoreModule,
@@ -156,36 +161,60 @@ def build_score_module(kind: str, dataset_tuple, *, batch_size: int,
         LocalScoreModule,
     )
 
+    if mesh is not None:
+        from ..parallel.sharded_score import (
+            ShardedIdealScoreModule,
+            ShardedLocalEquivBordersScoreModule,
+            ShardedLocalEquivScoreModule,
+            ShardedLocalScoreModule,
+        )
+
+        classes = {
+            "ELS": ShardedLocalEquivScoreModule,
+            "bbELS": ShardedLocalEquivBordersScoreModule,
+            "LS": ShardedLocalScoreModule,
+            "IS": ShardedIdealScoreModule,
+        }
+        mkw = {"mesh": mesh}
+    else:
+        classes = {
+            "ELS": LocalEquivScoreModule,
+            "bbELS": LocalEquivBordersScoreModule,
+            "LS": LocalScoreModule,
+            "IS": IdealScoreModule,
+        }
+        mkw = {}
+
     n = len(dataset_tuple[0])
     blk = {} if target_block is None else {"target_block": target_block}
     if kind == "ELS":
-        return LocalEquivScoreModule(
+        return classes["ELS"](
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision, shuffle=shuffle,
-            bank_ledger=bank_ledger, **blk,
+            bank_ledger=bank_ledger, **blk, **mkw,
         )
     if kind == "bbELS":
-        return LocalEquivBordersScoreModule(
+        return classes["bbELS"](
             dataset_tuple, kernel_size=kernel_size, batch_size=batch_size,
             image_size=image_size, channels=channels, schedule=schedule,
             max_samples=max_samples, precision=precision,
-            bank_ledger=bank_ledger, **blk,
+            bank_ledger=bank_ledger, **blk, **mkw,
         )
     # the reference els_script passes max_samples ONLY to ELS/bbELS
     # (els_script.py:69-96); LS/IS run batch_size=len(dataset), and a
     # max_samples below n would FILTER-exclude that single batch entirely
     # (all-zero weights -> NaN scores)
     if kind == "LS":
-        return LocalScoreModule(
+        return classes["LS"](
             dataset_tuple, kernel_size=kernel_size, batch_size=n,
             image_size=image_size, schedule=schedule,
-            precision=precision,
+            precision=precision, **mkw,
         )
     if kind == "IS":
-        return IdealScoreModule(
+        return classes["IS"](
             dataset_tuple, batch_size=n, image_size=image_size,
-            schedule=schedule, precision=precision,
+            schedule=schedule, precision=precision, **mkw,
         )
     raise ValueError(f"Unknown scoremoduletype: {kind}")
 

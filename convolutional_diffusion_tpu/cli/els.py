@@ -64,7 +64,8 @@ def main(argv=None):
                              "kernel-occupancy knob, PERFORMANCE.md)")
     parser.add_argument("--ndevices", type=int, default=1,
                         help=">1 shards the training set over a device mesh "
-                             "(ELS/bbELS; partial softmax states merge over ICI)")
+                             "(all module types; partial softmax states "
+                             "merge over ICI)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -87,41 +88,24 @@ def main(argv=None):
     else:
         expname = args.expname
 
-    if args.ndevices > 1 and args.scoremoduletype in ("ELS", "bbELS"):
+    mesh = None
+    if args.ndevices > 1:
         from ..parallel.mesh import make_mesh
-        from ..parallel.sharded_score import (
-            ShardedLocalEquivBordersScoreModule,
-            ShardedLocalEquivScoreModule,
-        )
 
         mesh = make_mesh(args.ndevices)
-        cls = (
-            ShardedLocalEquivScoreModule
-            if args.scoremoduletype == "ELS"
-            else ShardedLocalEquivBordersScoreModule
-        )
-        mod = cls(
-            (ds.images, ds.labels), mesh=mesh, batch_size=args.scorebatchsize,
-            image_size=image_size, channels=in_channels,
-            schedule=cosine_noise_schedule, max_samples=args.max_samples,
-            precision=args.precision,
-            shuffle=(args.shuffle and args.scoremoduletype == "ELS"),
-            **({} if args.target_block is None
-               else {"target_block": args.target_block}),
-        )
-    else:
-        mod = build_score_module(
-            args.scoremoduletype,
-            (ds.images, ds.labels),
-            batch_size=args.scorebatchsize,
-            image_size=image_size,
-            channels=in_channels,
-            schedule=cosine_noise_schedule,
-            max_samples=args.max_samples,
-            precision=args.precision,
-            shuffle=args.shuffle,
-            target_block=args.target_block,
-        )
+    mod = build_score_module(
+        args.scoremoduletype,
+        (ds.images, ds.labels),
+        batch_size=args.scorebatchsize,
+        image_size=image_size,
+        channels=in_channels,
+        schedule=cosine_noise_schedule,
+        max_samples=args.max_samples,
+        precision=args.precision,
+        shuffle=args.shuffle,
+        target_block=args.target_block,
+        mesh=mesh,
+    )
 
     scalesfile = args.scalesfile or auto_detect_scales(
         args.checkpoints, metadata["name"]

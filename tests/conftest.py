@@ -22,6 +22,22 @@ import jax
 # the config back to cpu before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the test session: score modules build fresh
+# jit closures per instance, so identical HLO (e.g. the ELS k=3 scorer on
+# the shared 8x8 fixtures) is otherwise re-compiled by every test that
+# constructs a module. The cache dedupes those across tests (and across
+# runs when CDT_TEST_CACHE pins a directory).
+import tempfile
+
+_cache_dir = os.environ.get("CDT_TEST_CACHE") or os.path.join(
+    tempfile.gettempdir(), "cdt_test_jax_cache"
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs: compile as before
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -46,18 +46,43 @@ class TestCelebALoader:
 
 
 def test_train_64x64_cli_end_to_end(tmp_path):
+    """Real training steps at 64x64 via the CLI, kept cheap with the
+    1-level UNet (the 2-level reference-recipe construction is verified by
+    the epochs=0 test below; the fwd+bwd compile of fsizes (64, 128) at
+    64x64 alone cost >1 min of suite wall-clock on this 1-core image)."""
     from convolutional_diffusion_tpu.cli import train_64x64
     from convolutional_diffusion_tpu.cli.common import load_model
 
     home = str(tmp_path / "ckpts")
     train_64x64.main([
         "--dataset", "synthetic", "--epochs", "1", "--batchsize", "4",
-        "--layers", "2", "--mult", "1", "--homedir", home,
+        "--layers", "1", "--mult", "1", "--homedir", home,
         "--saveinterval", "1", "--suppress", "--maxsamps", "8",
         "--ndevices", "1",
     ])
     sub = os.listdir(home)
     assert sub and sub[0].endswith("_64x64")
+    model, params = load_model(os.path.join(home, sub[0]))
+    assert model.default_imsize == 64
+    assert model.backbone.fsizes == (64,)
+
+
+def test_train_64x64_recipe_construction(tmp_path):
+    """The reference 64x64 recipe construction (fsizes [64,128,256,512]
+    [:layers], training_script_64x64.py) + checkpoint round trip, without
+    paying the training-step compile: epochs=0 saves the freshly
+    initialized model."""
+    from convolutional_diffusion_tpu.cli import train_64x64
+    from convolutional_diffusion_tpu.cli.common import load_model
+
+    home = str(tmp_path / "ckpts")
+    train_64x64.main([
+        "--dataset", "synthetic", "--epochs", "0", "--batchsize", "4",
+        "--layers", "2", "--mult", "1", "--homedir", home,
+        "--saveinterval", "1", "--suppress", "--maxsamps", "8",
+        "--ndevices", "1",
+    ])
+    sub = os.listdir(home)
     model, params = load_model(os.path.join(home, sub[0]))
     assert model.default_imsize == 64
     assert model.backbone.fsizes == (64, 128)

@@ -173,3 +173,23 @@ def test_sharded_ls_matches_single_device(data):
     a = np.asarray(single(0.4, x, order=order))
     b = np.asarray(sharded(0.4, x, order=order))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_build_score_module_mesh_routing(data):
+    """cli.common.build_score_module(mesh=...) returns the sharded variant
+    for every module kind and the result matches the single-device factory
+    output (the els CLI's --ndevices path, all four scoremoduletypes)."""
+    from convolutional_diffusion_tpu.cli.common import build_score_module
+
+    images, labels, x = data
+    mesh = make_mesh(8)
+    for kind in ("IS", "LS", "ELS", "bbELS"):
+        kw = dict(batch_size=12, image_size=8, channels=3,
+                  schedule=cosine_noise_schedule)
+        single = build_score_module(kind, (images, labels), **kw)
+        sharded = build_score_module(kind, (images, labels), mesh=mesh, **kw)
+        assert sharded.__class__.__name__.startswith("Sharded"), kind
+        order = np.arange(images.shape[0])  # pin LS's shuffle
+        a = np.asarray(single(0.5, x, order=order))
+        b = np.asarray(sharded(0.5, x, order=order))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=kind)

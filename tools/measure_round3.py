@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Round-3 ELS end-to-end decomposition on the real TPU.
+
+Answers, with measurements (results appended incrementally to
+tools/measure_round3_out.json):
+
+1. per_k      — where the 50k 20-step machine's time actually goes: one
+                timed machine step per distinct k (batch 8, 'high' + fp32),
+                vs the kernel microbench rates (measure_kernel_out.json).
+2. extract_ab — the cost of on-the-fly patch extraction: same step with a
+                prebuilt bank vs streaming, at scales where the k>=5 bank
+                fits HBM (k=5 @ 20k imgs, k=7 @ 6k imgs).
+3. blocks     — target_block (chunk) sweep at k=3 (cached bank) and k=5
+                (streaming): 65536 vs 131072 vs 262144.
+4. capacity   — per-chip throughput vs seed batch 8/16/32/64 ('high'),
+                derived from per-k steps, validated end-to-end at the best
+                batch (VERDICT round-3 item 4).
+
+Usage: python tools/measure_round3.py [stage ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+OUT_PATH = os.path.join(REPO, "tools", "measure_round3_out.json")
+CIFAR10_SCALES = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17, 17]
+# steps i = 19..1 use scales[i] (machine semantics): k=3 x3, k=5 x3, k=7 x4,
+# k=9 x2, k=11 x2, k=13 x1, k=15 x1, k=17 x3
+STEP_COUNTS = {}
+for i in range(len(CIFAR10_SCALES) - 1, 0, -1):
+    STEP_COUNTS[CIFAR10_SCALES[i]] = STEP_COUNTS.get(CIFAR10_SCALES[i], 0) + 1
+
+OUT = {}
+if os.path.exists(OUT_PATH):
+    with open(OUT_PATH) as f:
+        OUT = json.load(f)
+
+
+def flush():
+    with open(OUT_PATH, "w") as f:
+        json.dump(OUT, f, indent=1)
+    print(json.dumps({k: v for k, v in OUT.items() if not isinstance(v, dict)}),
+          flush=True)
+
+
+def fence(fn, *a, iters=1, warmup=1):
+    for _ in range(warmup):
+        jax.device_get(fn(*a))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.device_get(fn(*a))
+    return (time.perf_counter() - t0) / iters
+
+
+def make_module(n_train, *, precision, target_block=65536, budget=8 << 30,
+                kind="ELS"):
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.scores import (
+        LocalEquivBordersScoreModule,
+        LocalEquivScoreModule,
+    )
+
+    ds = synthetic_dataset(num_samples=n_train, image_size=32, num_channels=3)
+    cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
+    return cls(
+        (ds.images, ds.labels), batch_size=256, target_block=target_block,
+        precision=precision, bank_budget_bytes=budget,
+    )
+
+
+def step_time(mod, k, batch, t=0.45, iters=1):
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
+
+    def run(x):
+        return jnp.sum(mod(t, x, k=k))
+
+    return fence(run, x, iters=iters)
+
+
+def stage_per_k(precisions=("high", "highest"), batch=8, n=50000):
+    res = OUT.setdefault("per_k", {})
+    for precision in precisions:
+        mod = make_module(n, precision=precision)
+        for k in sorted(STEP_COUNTS):
+            key = f"{precision}/k{k}"
+            if key in res:
+                continue
+            dt = step_time(mod, k, batch)
+            P = n * (33 - k) ** 2
+            pairs = P * batch * 1024
+            res[key] = {
+                "sec": round(dt, 3),
+                "gpairs_per_s": round(pairs / dt / 1e9, 1),
+            }
+            flush()
+        # predicted full-machine rate = batch / sum(count_k * t_k)
+        tot = sum(STEP_COUNTS[k] * res[f"{precision}/k{k}"]["sec"]
+                  for k in STEP_COUNTS)
+        res[f"{precision}/predicted_machine_ips"] = round(batch / tot, 4)
+        flush()
+        del mod
+
+
+def stage_extract_ab():
+    """Prebuilt-bank vs streaming at bank-fits scales (the k>=5 question)."""
+    res = OUT.setdefault("extract_ab", {})
+    for k, n in ((5, 20000), (7, 6000)):
+        for mode, budget in (("banked", 8 << 30), ("stream", 0)):
+            key = f"k{k}_n{n}_{mode}"
+            if key in res:
+                continue
+            mod = make_module(n, precision="high", budget=budget)
+            dt = step_time(mod, k, 8, iters=2)
+            res[key] = {"sec": round(dt, 3)}
+            flush()
+            del mod
+
+
+def stage_blocks():
+    res = OUT.setdefault("blocks", {})
+    for k in (3, 5):
+        for blk in (65536, 131072, 262144):
+            key = f"k{k}_blk{blk}"
+            if key in res:
+                continue
+            mod = make_module(50000, precision="high", target_block=blk)
+            dt = step_time(mod, k, 8, iters=2)
+            res[key] = {"sec": round(dt, 3)}
+            flush()
+            del mod
+
+
+def stage_capacity(batches=(16, 32, 64)):
+    res = OUT.setdefault("capacity", {})
+    mod = make_module(50000, precision="high")
+    for batch in batches:
+        for k in sorted(STEP_COUNTS):
+            key = f"b{batch}/k{k}"
+            if key in res:
+                continue
+            dt = step_time(mod, k, batch)
+            res[key] = {"sec": round(dt, 3)}
+            flush()
+        tot = sum(STEP_COUNTS[k] * res[f"b{batch}/k{k}"]["sec"]
+                  for k in STEP_COUNTS)
+        res[f"b{batch}/predicted_machine_ips"] = round(batch / tot, 4)
+        flush()
+
+
+def stage_capacity_e2e(batch=None):
+    """Validate the winning batch with one true end-to-end machine call."""
+    from convolutional_diffusion_tpu.scores import ScheduledScoreMachine
+
+    res = OUT.setdefault("capacity", {})
+    if batch is None:
+        cands = [b for b in (16, 32, 64) if f"b{b}/predicted_machine_ips" in res]
+        batch = (
+            max(cands, key=lambda b: res[f"b{b}/predicted_machine_ips"])
+            if cands else 32
+        )
+    mod = make_module(50000, precision="high")
+    machine = ScheduledScoreMachine(
+        mod, in_channels=3, imsize=32, scales=CIFAR10_SCALES
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
+
+    def run(x):
+        return machine(x).sum()
+
+    dt = fence(run, x)
+    res[f"b{batch}/e2e_machine_ips"] = round(batch / dt, 4)
+    flush()
+
+
+STAGES = {
+    "per_k": stage_per_k,
+    "extract_ab": stage_extract_ab,
+    "blocks": stage_blocks,
+    "capacity": stage_capacity,
+    "capacity_e2e": stage_capacity_e2e,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["per_k", "extract_ab", "blocks", "capacity",
+                             "capacity_e2e"]
+    for name in names:
+        print(f"=== stage {name} ===", flush=True)
+        t0 = time.time()
+        STAGES[name]()
+        print(f"=== stage {name} done in {time.time()-t0:.0f}s ===", flush=True)
