@@ -254,19 +254,35 @@ def flash_score_update(
         )
         return m_.reshape(M), s1_.reshape(M), s2_.reshape(M, c)
 
-    # measured on v5e: 1024x1024 blocks run ~13% faster than 256x512 for
-    # large sweeps at small d; large patch dims must shrink blocks to fit
-    # the q/k tiles + the [BQ, BP] logit/e tiles in ~16 MB of VMEM
+    # Block policy, measured on v5e (tools/measure_blocks.py, round 3;
+    # pipelined-dispatch timing, M=8192, P=2M). The d>256 regime previously
+    # pinned 256x512 and ran at 40-60% of its achievable rate: each K tile
+    # streams from HBM once per QUERY block, so taller/wider blocks cut
+    # that re-read and fill the MXU pipeline — k=11 'high' 40.9 -> 60.0
+    # Gpairs/s (+47%), k=13 +34%, k=17 +22%, k=7 +12%. The bf16x3 tiers
+    # carry 4 extra split operand tiles in VMEM, so their feasible blocks
+    # are smaller at large d than fp32-HIGHEST's (e.g. 512x2048 compiles at
+    # dp<=384 for 'high' but OOMs Mosaic at dp=512, where HIGHEST's
+    # 256x2048 still fits).
     dp_est = _round_up(d, 128)
-    big = 1024 if dp_est <= 256 else 256
-    # policy: small d -> up to 1024x1024 blocks (measured ~13% faster for
-    # large sweeps); large d -> fixed 256x512 (the q/k tiles + the [BQ,BP]
-    # logit/e tiles must fit ~16 MB of VMEM; for big=256 the min() terms
-    # below pin block_q=256 / block_p=512 exactly)
+    if precision == "highest":
+        if dp_est <= 512:
+            bq_d, bp_d = 256, 2048  # k3: 87.7 vs 78.6 @ old 1024x1024
+        elif dp_est <= 896:
+            bq_d, bp_d = 256, 1024  # k17: 15.4 vs 14.6
+        else:  # beyond the measured range: the conservative round-2 blocks
+            bq_d, bp_d = 256, 512
+    else:
+        if dp_est <= 384:
+            bq_d, bp_d = 512, 2048  # k3: 124.9 vs 110.1; k11: 60.0 vs 40.9
+        elif dp_est <= 896:
+            bq_d, bp_d = 512, 1024  # k13: 44.6 vs 33.2; k17: 26.3 vs 21.6
+        else:
+            bq_d, bp_d = 256, 512
     if block_q is None:
-        block_q = max(256, min(big, _round_up(M, 256)))
+        block_q = max(256, min(bq_d, _round_up(M, 256)))
     if block_p is None:
-        block_p = max(512, min(big, _round_up(P, 512)))
+        block_p = max(512, min(bp_d, _round_up(P, 512)))
 
     Mp = _round_up(M, block_q)
     Pp = _round_up(P, block_p)

@@ -154,13 +154,15 @@ def golden_cases(rows):
     rows.append(("ELS shuffle (pallas)", "recorded perm, max=8", mx, rel, 1e-3))
 
 
-def grid_cases(rows):
+def grid_cases(rows, d=75):
     """Multi-block grid + chunk-chaining check vs a float64 host reference.
 
     The goldens above are 8x8 fixtures — a single (padded) kernel block. This
     exercises the real tiling regime: M and P far above one block, neither a
-    multiple of its block size, d=75 (padded to 128), two chained chunk
-    updates, both v strategies."""
+    multiple of its block size, d padded to lanes, two chained chunk
+    updates, both v strategies. Called twice: d=75 (k=5, the small-d
+    1024x1024-block regime) and d=363 (k=11, the round-3 large-d
+    512x2048/256x2048 block regime)."""
     import jax.numpy as jnp
 
     from convolutional_diffusion_tpu.ops.flash_score import (
@@ -170,7 +172,7 @@ def grid_cases(rows):
     )
 
     rng = np.random.default_rng(0)
-    M, d, c = 1100, 75, 3
+    M, c = 1100, 3
     P1, P2 = 70_001, 40_000  # two chained chunks, non-multiples of block_p
     at64, bt64 = 0.9, np.sqrt(1 - 0.9**2)
     q = rng.standard_normal((M, d)).astype(np.float32)
@@ -231,7 +233,7 @@ def grid_cases(rows):
         mean = np.asarray(s2) / np.asarray(s1)[:, None]
         mx, rel = dev(mean, mean64)
         rows.append(
-            ("Kernel grid (110k patches, 2 chunks)", tag, mx, rel, tol)
+            (f"Kernel grid (110k patches, 2 chunks, d={d})", tag, mx, rel, tol)
         )
 
 
@@ -307,7 +309,8 @@ def main():
         )
     t0 = time.time()
     rows = []
-    grid_cases(rows)
+    grid_cases(rows, d=75)
+    grid_cases(rows, d=363)
     golden_cases(rows)
     elapsed = time.time() - t0
     if backend == "cpu":
