@@ -261,8 +261,8 @@ def main():
     variants = [
         ("ELS", "highest", 0, "els_20step_50kbank_images_per_sec_fp32"),
         ("ELS", "high", 0, "els_20step_50kbank_images_per_sec_bf16x3"),
-        ("bbELS", "highest", 0, "bbels_20step_50kbank_images_per_sec_fp32"),
         ("ELS", "high", 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
+        ("bbELS", "highest", 0, "bbels_20step_50kbank_images_per_sec_fp32"),
         ("ELS", "default", 0, "els_20step_50kbank_images_per_sec_fast"),
     ]
     for kind, precision, batch, tag in variants:

@@ -254,6 +254,39 @@ def flash_score_update(
         )
         return m_.reshape(M), s1_.reshape(M), s2_.reshape(M, c)
 
+    # Large-M x large-d VMEM guard: inside a lax.scan, XLA can place the
+    # whole carried state (notably s2 [Mp, 128]) in scoped VMEM next to the
+    # kernel's tiles — at M=32768/dp>=768 that overflows the 16 MB stack at
+    # compile time (measured: the b>=32 capacity machines at k>=15), while
+    # the SAME kernel standalone compiles fine. Query rows are independent,
+    # so split the call into <=16384-row chunks — bit-exact, and the K
+    # traffic is unchanged (the grid already re-reads K per query block).
+    # At M=65536/dp=384 the (512,2048) 'high' tiles (~16M) plus the carried
+    # m/s1 tip the scoped stack 464K over: halve the query block instead of
+    # chunking (256x2048 measured 58.5 vs 60.0 Gpairs/s at k=11).
+    if M > 32768 and 384 <= _round_up(d, 128) < 640 and block_q is None:
+        block_q = 256
+
+    QCHUNK = 16384
+    if M > QCHUNK and _round_up(d, 128) >= 640:
+        # The chunked calls' outputs get VMEM-placed by XLA (it fuses the
+        # concatenate), so the default 512-row query tiles push the scoped
+        # stack over 16M (by 220K at 2 chunks/dp=896; by 2.5M at 4
+        # chunks/dp=768) — use 256-row tiles for every chunked call
+        # (measured ~4% below 512 standalone, and it compiles everywhere).
+        bq_chunk = block_q if block_q is not None else 256
+        outs = [
+            flash_score_update(
+                q[i : i + QCHUNK], qn[i : i + QCHUNK], bank, pn, values, w,
+                at, bt,
+                (m0[i : i + QCHUNK], s10[i : i + QCHUNK], s20[i : i + QCHUNK]),
+                block_q=bq_chunk, block_p=block_p, interpret=interpret,
+                precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
+            )
+            for i in range(0, M, QCHUNK)
+        ]
+        return tuple(jnp.concatenate(parts) for parts in zip(*outs))
+
     # Block policy, measured on v5e (tools/measure_blocks.py, round 3;
     # pipelined-dispatch timing, M=8192, P=2M). The d>256 regime previously
     # pinned 256x512 and ran at 40-60% of its achievable rate: each K tile

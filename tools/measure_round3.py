@@ -141,21 +141,26 @@ def stage_blocks():
             del mod
 
 
-def stage_capacity(batches=(16, 32, 64)):
+def stage_capacity(batches=(16, 32, 64), precision="high"):
     res = OUT.setdefault("capacity", {})
-    mod = make_module(50000, precision="high")
+    mod = make_module(50000, precision=precision)
+    pfx = "" if precision == "high" else f"{precision}/"
     for batch in batches:
         for k in sorted(STEP_COUNTS):
-            key = f"b{batch}/k{k}"
+            key = f"{pfx}b{batch}/k{k}"
             if key in res:
                 continue
             dt = step_time(mod, k, batch)
             res[key] = {"sec": round(dt, 3)}
             flush()
-        tot = sum(STEP_COUNTS[k] * res[f"b{batch}/k{k}"]["sec"]
+        tot = sum(STEP_COUNTS[k] * res[f"{pfx}b{batch}/k{k}"]["sec"]
                   for k in STEP_COUNTS)
-        res[f"b{batch}/predicted_machine_ips"] = round(batch / tot, 4)
+        res[f"{pfx}b{batch}/predicted_machine_ips"] = round(batch / tot, 4)
         flush()
+
+
+def stage_capacity_fp32():
+    stage_capacity(batches=(16, 32), precision="highest")
 
 
 def stage_capacity_e2e(batch=None):
@@ -189,6 +194,7 @@ STAGES = {
     "blocks": stage_blocks,
     "capacity": stage_capacity,
     "capacity_e2e": stage_capacity_e2e,
+    "capacity_fp32": stage_capacity_fp32,
 }
 
 if __name__ == "__main__":
