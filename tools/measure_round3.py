@@ -163,6 +163,27 @@ def stage_capacity_fp32():
     stage_capacity(batches=(16, 32), precision="highest")
 
 
+def stage_bbels(precisions=("high", "highest"), batches=(8, 32), n=50000):
+    """bbELS per-k steps under the round-3 block policy (the docs' bbELS
+    numbers predate it) + capacity batches; predicted machine ips per batch."""
+    res = OUT.setdefault("bbels", {})
+    for precision in precisions:
+        mod = make_module(n, precision=precision, kind="bbELS")
+        for batch in batches:
+            for k in sorted(STEP_COUNTS):
+                key = f"{precision}/b{batch}/k{k}"
+                if key in res:
+                    continue
+                dt = step_time(mod, k, batch)
+                res[key] = {"sec": round(dt, 3)}
+                flush()
+            tot = sum(STEP_COUNTS[k] * res[f"{precision}/b{batch}/k{k}"]["sec"]
+                      for k in STEP_COUNTS)
+            res[f"{precision}/b{batch}/predicted_machine_ips"] = round(batch / tot, 4)
+            flush()
+        del mod
+
+
 def stage_capacity_e2e(batch=None):
     """Validate the winning batch with one true end-to-end machine call."""
     from convolutional_diffusion_tpu.scores import ScheduledScoreMachine
@@ -195,6 +216,7 @@ STAGES = {
     "capacity": stage_capacity,
     "capacity_e2e": stage_capacity_e2e,
     "capacity_fp32": stage_capacity_fp32,
+    "bbels": stage_bbels,
 }
 
 if __name__ == "__main__":
