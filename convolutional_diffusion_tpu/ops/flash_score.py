@@ -35,6 +35,12 @@ import jax.numpy as jnp
 
 NEG_INF = float(-1e30)  # finite -inf stand-in: keeps exp()/rescale exact at fp32
 
+# Large-M x large-d VMEM-guard thresholds (see the guard comments in
+# flash_score_update). Module-level so tests can exercise the chunked path
+# at CPU-sized shapes (tests/test_flash_score.py::test_query_chunking).
+QCHUNK = 16384  # query rows per chunked call
+QCHUNK_MIN_DP = 640  # padded d at/above which chunking engages
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -267,8 +273,7 @@ def flash_score_update(
     if M > 32768 and 384 <= _round_up(d, 128) < 640 and block_q is None:
         block_q = 256
 
-    QCHUNK = 16384
-    if M > QCHUNK and _round_up(d, 128) >= 640:
+    if M > QCHUNK and _round_up(d, 128) >= QCHUNK_MIN_DP:
         # The chunked calls' outputs get VMEM-placed by XLA (it fuses the
         # concatenate), so the default 512-row query tiles push the scoped
         # stack over 16M (by 220K at 2 chunks/dp=896; by 2.5M at 4

@@ -255,3 +255,42 @@ def test_base_precision_ladder_validation():
     assert m.prec == jax.lax.Precision.HIGH
     with pytest.raises(ValueError, match="precision"):
         LocalEquivScoreModule((imgs, labs), precision="bf16")
+
+
+def test_query_chunking_matches_whole_call(monkeypatch):
+    """The large-M/large-d VMEM guard splits the call into QCHUNK-row query
+    chunks (flash_score.py QCHUNK); rows are independent, so the chunked
+    path must reproduce the whole-M call row-for-row. (On hardware the two
+    paths run the identical Mosaic kernel per block and agree bit-exactly;
+    on CPU the inner chunk calls run under jit while the whole call here is
+    eager interpret, so XLA reassociation leaves ~1-ulp dot differences —
+    compare at tight tolerance, which still catches any slicing bug.)"""
+    import convolutional_diffusion_tpu.ops.flash_score as fs
+
+    M, d, P, c = 160, 130, 200, 3
+    rs = np.random.RandomState(5)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    w = jnp.asarray(rs.uniform(0.5, 1.5, size=(P,)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    st = state_to_pallas(
+        jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c))
+    )
+    # bypass the jit wrapper: both calls share shapes/statics, and jit would
+    # otherwise serve the pre-patch compilation to the post-patch call
+    raw = fs.flash_score_update.__wrapped__
+    args = (q, qn, bank, pn, values, w, at, bt, st)
+    kw = dict(block_q=64, block_p=128, interpret=True)
+    whole = raw(*args, **kw)
+    monkeypatch.setattr(fs, "QCHUNK", 64)
+    monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 128)  # dp(130) = 256 engages
+    chunked = raw(*args, **kw)
+    for name, a, b, rtol in zip(
+        ("m", "s1", "s2"), whole, chunked, (1e-6, 1e-4, 5e-4)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-6, err_msg=name
+        )
