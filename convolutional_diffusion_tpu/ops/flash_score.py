@@ -302,25 +302,39 @@ def flash_score_update(
     # are smaller at large d than fp32-HIGHEST's (e.g. 512x2048 compiles at
     # dp<=384 for 'high' but OOMs Mosaic at dp=512, where HIGHEST's
     # 256x2048 still fits).
+    # The dp>896 rows come from the 64x64-regime sweep (k=19/23/27, i.e.
+    # dp 1152/1664/2304; BLOCKS_SMALL=1 tools/measure_blocks.py): 'high'
+    # 256x1024 at k19 +13% (20.8 vs 18.4 Gpairs/s) and 512x512 at k23 +5%
+    # (14.0 vs 13.3); anything larger fails Mosaic VMEM there. fp32-HIGHEST
+    # is tighter still — its 6-pass MXU emulation carries 3-way bf16
+    # operand splits, so at dp>2048 even 256x512 overflows the 16 MB scoped
+    # stack by 2.3M (k=27 measured) and the k-tile must drop to 256.
     dp_est = _round_up(d, 128)
     if precision == "highest":
         if dp_est <= 512:
             bq_d, bp_d = 256, 2048  # k3: 87.7 vs 78.6 @ old 1024x1024
-        elif dp_est <= 896:
-            bq_d, bp_d = 256, 1024  # k17: 15.4 vs 14.6
-        else:  # beyond the measured range: the conservative round-2 blocks
-            bq_d, bp_d = 256, 512
+        elif dp_est <= 1152:
+            bq_d, bp_d = 256, 1024  # k17: 15.4 vs 14.6; k19: 12.3 vs 11.8
+        elif dp_est <= 2048:
+            bq_d, bp_d = 256, 512  # k23: larger tiles fail VMEM
+        else:
+            bq_d, bp_d = 256, 256  # k27: 256x512 needs 18.3M > 16M scoped
     else:
         if dp_est <= 384:
             bq_d, bp_d = 512, 2048  # k3: 124.9 vs 110.1; k11: 60.0 vs 40.9
         elif dp_est <= 896:
             bq_d, bp_d = 512, 1024  # k13: 44.6 vs 33.2; k17: 26.3 vs 21.6
+        elif dp_est <= 1152:
+            bq_d, bp_d = 256, 1024  # k19: 20.8 vs 18.4
+        elif dp_est <= 2048:
+            bq_d, bp_d = 512, 512  # k23: 14.0 vs 13.3
         else:
-            bq_d, bp_d = 256, 512
+            bq_d, bp_d = 256, 512  # k27: the one config that fits
     if block_q is None:
         block_q = max(256, min(bq_d, _round_up(M, 256)))
     if block_p is None:
-        block_p = max(512, min(bp_d, _round_up(P, 512)))
+        # floor 512 except where the policy itself asks for less (dp>2048)
+        block_p = max(min(512, bp_d), min(bp_d, _round_up(P, 512)))
 
     Mp = _round_up(M, block_q)
     Pp = _round_up(P, block_p)

@@ -62,8 +62,9 @@ def main():
         # cap the operand footprint at large d: the wrapper pads the bank
         # into a second [Pp, dp] copy, and ~2 x 7 GB at k=17/P=2M OOMs the
         # compile (HTTP-500 from the remote compile helper). k<=13 keeps the
-        # 2M-patch sweep (and its already-cached compiles).
-        P = 1 << 21 if d <= 600 else 600 * 1024
+        # 2M-patch sweep (and its already-cached compiles). The 64x64-regime
+        # k>=19 (d>1500) halves P again: 2 x 4 GB at d=2187 still fits.
+        P = 1 << 21 if d <= 600 else (600 * 1024 if d <= 1500 else 300 * 1024)
         q = jax.random.normal(jax.random.PRNGKey(0), (M, d), jnp.float32)
         qn = jnp.sum(q**2, -1)
         bank = jax.random.normal(jax.random.PRNGKey(1), (P, d), jnp.float32)
@@ -73,13 +74,19 @@ def main():
         at = jnp.float32(0.9)
         bt = jnp.float32(jnp.sqrt(1 - 0.81))
         state = (jnp.full((M,), NEG_INF), jnp.zeros((M,)), jnp.zeros((M, c)))
+        # BLOCKS_SMALL=1 trims to the configs plausible at huge d (k>=19):
+        # bigger tiles than 512x1024 cannot fit VMEM at dp>=1152.
+        cands = (
+            (None, None),  # current policy
+            (256, 1024), (512, 512), (512, 1024), (512, 2048),
+            (1024, 512), (1024, 1024), (2048, 512),
+            (256, 2048), (256, 4096), (512, 4096),
+        )
+        if os.environ.get("BLOCKS_SMALL"):
+            cands = ((None, None), (256, 1024), (512, 512), (512, 1024),
+                     (256, 2048))
         for precision in ("high", "highest"):
-            for bq, bp in (
-                (None, None),  # current policy
-                (256, 1024), (512, 512), (512, 1024), (512, 2048),
-                (1024, 512), (1024, 1024), (2048, 512),
-                (256, 2048), (256, 4096), (512, 4096),
-            ):
+            for bq, bp in cands:
                 tag = f"k{k}/{precision}/pip/bq{bq}_bp{bp}"
                 if tag in OUT:
                     continue

@@ -64,14 +64,15 @@ def fence(fn, *a, iters=1, warmup=1):
 
 
 def make_module(n_train, *, precision, target_block=65536, budget=8 << 30,
-                kind="ELS"):
+                kind="ELS", imsize=32):
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.scores import (
         LocalEquivBordersScoreModule,
         LocalEquivScoreModule,
     )
 
-    ds = synthetic_dataset(num_samples=n_train, image_size=32, num_channels=3)
+    ds = synthetic_dataset(num_samples=n_train, image_size=imsize,
+                           num_channels=3)
     cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
     return cls(
         (ds.images, ds.labels), batch_size=256, target_block=target_block,
@@ -79,8 +80,8 @@ def make_module(n_train, *, precision, target_block=65536, budget=8 << 30,
     )
 
 
-def step_time(mod, k, batch, t=0.45, iters=1):
-    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
+def step_time(mod, k, batch, t=0.45, iters=1, imsize=32):
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, imsize, imsize, 3))
 
     def run(x):
         return jnp.sum(mod(t, x, k=k))
@@ -209,6 +210,44 @@ def stage_capacity_e2e(batch=None):
     flush()
 
 
+CELEBA64_SCALES = [3, 3, 3, 3, 3, 3, 3, 5, 5, 5, 5, 5, 7, 7, 9, 9, 9, 13, 19, 27]
+
+
+def stage_celeba64(precisions=("high", "highest"), batch=8, n=50000):
+    """The 64x64 CelebA_UNet_zeros workload (BASELINE.md scales row; k up to
+    27, d up to 2187): per-k timed machine steps at 50k images + predicted
+    20-step machine rate — the large-d regime the 32x32 sweeps never touch."""
+    counts = {}
+    for i in range(len(CELEBA64_SCALES) - 1, 0, -1):
+        counts[CELEBA64_SCALES[i]] = counts.get(CELEBA64_SCALES[i], 0) + 1
+    res = OUT.setdefault("celeba64", {})
+    for precision in precisions:
+        mod = make_module(n, precision=precision, imsize=64)
+        for k in sorted(counts):
+            key = f"{precision}/k{k}"
+            if key in res:
+                continue
+            try:
+                dt = step_time(mod, k, batch, imsize=64)
+            except Exception as e:
+                res[key] = {"error": repr(e)[:200]}
+                flush()
+                continue
+            P = n * (65 - k) ** 2
+            pairs = P * batch * 4096
+            res[key] = {
+                "sec": round(dt, 3),
+                "gpairs_per_s": round(pairs / dt / 1e9, 1),
+            }
+            flush()
+        if all("sec" in res.get(f"{precision}/k{k}", {}) for k in counts):
+            tot = sum(counts[k] * res[f"{precision}/k{k}"]["sec"]
+                      for k in counts)
+            res[f"{precision}/predicted_machine_ips"] = round(batch / tot, 4)
+            flush()
+        del mod
+
+
 STAGES = {
     "per_k": stage_per_k,
     "extract_ab": stage_extract_ab,
@@ -217,6 +256,7 @@ STAGES = {
     "capacity_e2e": stage_capacity_e2e,
     "capacity_fp32": stage_capacity_fp32,
     "bbels": stage_bbels,
+    "celeba64": stage_celeba64,
 }
 
 if __name__ == "__main__":
