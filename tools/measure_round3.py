@@ -225,7 +225,7 @@ def stage_celeba64(precisions=("high", "highest"), batch=8, n=50000):
         mod = make_module(n, precision=precision, imsize=64)
         for k in sorted(counts):
             key = f"{precision}/k{k}"
-            if key in res:
+            if "sec" in res.get(key, {}):  # rerun error entries
                 continue
             try:
                 dt = step_time(mod, k, batch, imsize=64)

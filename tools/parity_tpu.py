@@ -154,15 +154,18 @@ def golden_cases(rows):
     rows.append(("ELS shuffle (pallas)", "recorded perm, max=8", mx, rel, 1e-3))
 
 
-def grid_cases(rows, d=75):
+def grid_cases(rows, d=75, configs=None, P_pair=None):
     """Multi-block grid + chunk-chaining check vs a float64 host reference.
 
     The goldens above are 8x8 fixtures — a single (padded) kernel block. This
     exercises the real tiling regime: M and P far above one block, neither a
     multiple of its block size, d padded to lanes, two chained chunk
-    updates, both v strategies. Called twice: d=75 (k=5, the small-d
-    1024x1024-block regime) and d=363 (k=11, the round-3 large-d
-    512x2048/256x2048 block regime)."""
+    updates, both v strategies. Called per block-policy regime: d=75 (k=5,
+    the small-d 1024x1024-block regime), d=363 (k=11, the round-3 large-d
+    512x2048/256x2048 regime), and — with a reduced config set and bank —
+    d=1083/2187 (k=19/27, the 64x64-regime 256x1024 / 512x512 / 256x256
+    branches, incl. the fp32 256x256 one that exists because larger tiles
+    overflow scoped VMEM there)."""
     import jax.numpy as jnp
 
     from convolutional_diffusion_tpu.ops.flash_score import (
@@ -173,7 +176,8 @@ def grid_cases(rows, d=75):
 
     rng = np.random.default_rng(0)
     M, c = 1100, 3
-    P1, P2 = 70_001, 40_000  # two chained chunks, non-multiples of block_p
+    # two chained chunks, non-multiples of block_p
+    P1, P2 = P_pair or (70_001, 40_000)
     at64, bt64 = 0.9, np.sqrt(1 - 0.9**2)
     q = rng.standard_normal((M, d)).astype(np.float32)
     banks = [
@@ -211,12 +215,13 @@ def grid_cases(rows, d=75):
     qj = jnp.asarray(q)
     qnj = jnp.sum(qj.astype(jnp.float32) ** 2, axis=1)
 
-    for precision, v_strategy, fast_exp, tol, tag in (
+    all_configs = (
         ("highest", "vpu", False, 1e-3, "fp32/vpu"),
         ("highest", "mxu", False, 1e-3, "fp32/mxu"),
         ("high", "vpu", False, 1e-3, "bf16x3/vpu"),
         ("default", "mxu1", True, 2e-2, "fast/mxu1"),
-    ):
+    )
+    for precision, v_strategy, fast_exp, tol, tag in (configs or all_configs):
         state = state_to_pallas(
             jnp.full((M,), -jnp.inf, jnp.float32),
             jnp.zeros((M,), jnp.float32),
@@ -245,9 +250,11 @@ def write_section(rows, backend, elapsed):
         "",
         f"The same goldens, executed on the real TPU (`{backend}` backend)",
         "with `use_pallas=True` — the Mosaic-lowered flash-score kernel that",
-        "produces every hardware throughput number — plus a multi-block grid",
-        "check (M=1100, P=110k over two chained chunks, d=75) against a",
-        "float64 host reference. Regenerate: `python tools/parity_tpu.py`.",
+        "produces every hardware throughput number — plus multi-block grid",
+        "checks (M=1100, two chained chunks) against a float64 host",
+        "reference at one d per block-policy regime: d=75, 363 (110k",
+        "patches) and 1083, 2187 (the 64x64-regime k=19/27 branches, 32k",
+        "patches). Regenerate: `python tools/parity_tpu.py`.",
         "",
         "| component | case | max abs dev | max rel dev | tol | ok |",
         "|---|---|---|---|---|---|",
@@ -311,6 +318,14 @@ def main():
     rows = []
     grid_cases(rows, d=75)
     grid_cases(rows, d=363)
+    # 64x64-regime branches (k=19/27): the machines' chunked sweeps run
+    # vpu, so check the parity tiers there on a smaller two-chunk bank
+    bigd = (
+        ("highest", "vpu", False, 1e-3, "fp32/vpu"),
+        ("high", "vpu", False, 1e-3, "bf16x3/vpu"),
+    )
+    grid_cases(rows, d=1083, configs=bigd, P_pair=(20_001, 12_000))
+    grid_cases(rows, d=2187, configs=bigd, P_pair=(20_001, 12_000))
     golden_cases(rows)
     elapsed = time.time() - t0
     if backend == "cpu":
