@@ -94,9 +94,13 @@ class BankCacheMixin:
     budget accessors."""
 
     def _init_bank_cache(self, *, target_block, use_pallas,
-                         bank_budget_bytes, bank_ledger):
+                         bank_budget_bytes, bank_ledger,
+                         dispatch_target_s=None):
         self.target_block = target_block
         self.use_pallas = use_pallas
+        # per-execution wall-clock target for dispatch segmentation
+        # (ops.dispatch; None = env CDT_DISPATCH_TARGET_S or 30 s, <=0 off)
+        self.dispatch_target_s = dispatch_target_s
         # bank_ledger: pass ONE BankLedger to several modules (e.g. the
         # per-k calibration fleet) so the budget caps their cached banks
         # cumulatively; by default each module gets its own ledger.

@@ -36,6 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.dispatch import plan_segments
 from ..ops.patches import center_index, extract_patches, pad_image
 from .bank import BankCacheMixin, bank_geometry
 from .base import ScoreModuleBase
@@ -60,6 +61,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         use_pallas: bool | None = None,
         bank_budget_bytes: int = 8 << 30,
         bank_ledger=None,
+        dispatch_target_s: float | None = None,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -68,6 +70,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         self._init_bank_cache(
             target_block=target_block, use_pallas=use_pallas,
             bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
+            dispatch_target_s=dispatch_target_s,
         )
         self._local_fallback_cache = None
 
@@ -159,41 +162,47 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         shard_axis = getattr(self, "axis", "data")
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
-        def fn(images, labels, order, x, lab, at, bt, *bank_args):
-            n, h, w, c = images.shape
-            d = k * k * c
-            b = x.shape[0]
-            ctr = center_index(k, c)
-            w_img = image_weights(
-                labels,
-                lab if has_label else None,
-                batch_size=batch_size,
-                max_samples=max_samples,
-                cutoff=CutoffRule.BATCH_QUOTA,
-                weighting=Weighting.SUM,
-                order=order,
-            )
-            # chunks stream FLATTENED ([cs, h*w*c]): a c=3-minor scan operand
-            # would be layout-padded to 128 lanes (42x HBM bloat; see els_sweep)
-            pad = (-n) % (n_dev * cs)
-            images_p = jnp.concatenate(
-                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
-            ).reshape(
-                (n_dev, -1, cs, h * w * c) if mesh is not None else (-1, cs, h * w * c)
-            )
-            w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
-                (n_dev, -1, cs) if mesh is not None else (-1, cs)
-            )
+        # static geometry (from the module's dataset/x shapes)
+        n_img, h, w, c = self.images.shape
+        b = x_shape[0]
+        d = k * k * c
+        ctr = center_index(k, c)
+        rc, cc = slice(p, h - p), slice(p, w - p)  # center row/col ranges
+        hc, wc = h - 2 * p, w - 2 * p
+        top, bottom = slice(0, p), slice(h - p, h)
+        left, right = slice(0, p), slice(w - p, w)
 
-            xq = extract_patches(pad_image(x, p, "zeros"), k)  # [b, h, w, d]
-            beta2 = 2.0 * bt**2
+        # dispatch segmentation plan (ops.dispatch; single-device only —
+        # sharded sweeps already divide per-device work by n_dev). Border
+        # pairs per chunk are exact; 1.5x covers the einsum/elementwise
+        # overhead of the many-region formulation vs the flash kernel rates.
+        pairs_border = float(n_img) * b * (
+            2 * p * wc * wc + 2 * p * hc * hc + 4 * p * p
+        )
+        pairs_center_stream = (
+            0.0 if center_banked else float(n_img) * hc * wc * b * hc * wc
+        )
+        n_chunks_ = -(-n_img // cs)
+        n_seg = 1 if mesh is not None else plan_segments(
+            pairs_border + pairs_center_stream,
+            precision=precision, d=d, n_chunks=n_chunks_,
+            target_s=self.dispatch_target_s, work_factor=1.5,
+        )
+        if center_banked:
+            g = bank_geometry(n_img, h, w, c, k, B)
+            n_seg_c = 1 if mesh is not None else plan_segments(
+                float(g.nblk) * g.block * (b * hc * wc),
+                precision=precision, d=d, n_chunks=g.nblk,
+                target_s=self.dispatch_target_s,
+            )
+        else:
+            g = None
+            n_seg_c = 1
 
-            rc, cc = slice(p, h - p), slice(p, w - p)  # center row/col ranges
-            hc, wc = h - 2 * p, w - 2 * p
-
-            # --- queries per region -------------------------------------
+        def make_queries(x, xq):
+            """Per-region query tensors from the zero-padded windows of x
+            (a pytree, so the segmented path can pass them between jits)."""
             q_center = xq[:, rc, cc, :].reshape(b, hc * wc, d)
-            qn_center = jnp.sum(q_center**2, axis=-1)
 
             def row_queries(rows):  # [R, b, wc, d]
                 q = xq[:, rows, cc, :]  # [b, R, wc, d]
@@ -203,30 +212,47 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
                 q = xq[:, rc, cols, :]  # [b, hc, R, d]
                 return jnp.transpose(q, (2, 0, 1, 3))
 
-            top, bottom = slice(0, p), slice(h - p, h)
-            left, right = slice(0, p), slice(w - p, w)
-            q_rows = {"top": row_queries(top), "bottom": row_queries(bottom)}
-            q_cols = {"left": col_queries(left), "right": col_queries(right)}
-
             def corner_queries(rows, cols):  # [p*p, b, d]
                 q = xq[:, rows, cols, :]  # [b, p, p, d]
                 return q.reshape(b, p * p, d).transpose(1, 0, 2)
 
-            q_corners = {
-                "tl": corner_queries(top, left),
-                "tr": corner_queries(top, right),
-                "bl": corner_queries(bottom, left),
-                "br": corner_queries(bottom, right),
+            return {
+                "center": q_center,
+                "center_n": jnp.sum(q_center**2, axis=-1),
+                "rows": {
+                    "top": row_queries(top), "bottom": row_queries(bottom)
+                },
+                "cols": {
+                    "left": col_queries(left), "right": col_queries(right)
+                },
+                "corners": {
+                    "tl": corner_queries(top, left),
+                    "tr": corner_queries(top, right),
+                    "bl": corner_queries(bottom, left),
+                    "br": corner_queries(bottom, right),
+                },
             }
 
-            states = {
+        def init_states():
+            return {
                 **(
                     {} if center_banked else {"center": init_state((b, hc * wc), c)}
                 ),
-                **{f"row_{nm}": init_state((p, b, wc), c) for nm in q_rows},
-                **{f"col_{nm}": init_state((p, b, hc), c) for nm in q_cols},
-                **{f"corner_{nm}": init_state((p * p, b), c) for nm in q_corners},
+                **{f"row_{nm}": init_state((p, b, wc), c) for nm in ("top", "bottom")},
+                **{f"col_{nm}": init_state((p, b, hc), c) for nm in ("left", "right")},
+                **{f"corner_{nm}": init_state((p * p, b), c)
+                   for nm in ("tl", "tr", "bl", "br")},
             }
+
+        def make_step(queries, at, bt):
+            """The per-chunk region update — single source for the one-shot
+            scan, the sharded scan, and the segmented scans."""
+            q_center = queries["center"]
+            qn_center = queries["center_n"]
+            q_rows = queries["rows"]
+            q_cols = queries["cols"]
+            q_corners = queries["corners"]
+            beta2 = 2.0 * bt**2
 
             def step(states, chunk):
                 imgs_c, w_c = chunk  # [cs, h*w*c], [cs]
@@ -311,6 +337,82 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
 
                 return out, None
 
+            return step
+
+        def assemble(states, mc, x, at, bt):
+            """Score image from the region states + center means mc
+            [b, hc, wc, c] (single source for both dispatch paths)."""
+
+            def mean_v(st):
+                return st.s2 / st.s1[..., None]
+
+            out = jnp.zeros_like(x)
+            out = out.at[:, rc, cc, :].set(-(x[:, rc, cc, :] - at * mc) / (bt**2))
+
+            for nm, rows in (("top", top), ("bottom", bottom)):
+                m = jnp.moveaxis(mean_v(states[f"row_{nm}"]), 0, 1)  # [b, R, wc, c]
+                out = out.at[:, rows, cc, :].set(
+                    -(x[:, rows, cc, :] - at * m) / (bt**2)
+                )
+            for nm, cols in (("left", left), ("right", right)):
+                m = jnp.transpose(mean_v(states[f"col_{nm}"]), (1, 2, 0, 3))
+                out = out.at[:, rc, cols, :].set(
+                    -(x[:, rc, cols, :] - at * m) / (bt**2)
+                )
+            for nm, (rows, cols) in {
+                "tl": (top, left),
+                "tr": (top, right),
+                "bl": (bottom, left),
+                "br": (bottom, right),
+            }.items():
+                m = mean_v(states[f"corner_{nm}"])  # [p*p, b, c]
+                m = m.transpose(1, 0, 2).reshape(b, p, p, c)
+                out = out.at[:, rows, cols, :].set(
+                    -(x[:, rows, cols, :] - at * m) / (bt**2)
+                )
+            return out
+
+        def center_w_b(w_img):
+            """Per-block bank weights [nblk, B] for the cached-center sweep."""
+            pad_img = g.nblk * g.cs - n_img
+            w_imgp = (
+                jnp.concatenate([w_img, jnp.zeros((pad_img,), w_img.dtype)])
+                if pad_img
+                else w_img
+            )
+            return jnp.repeat(w_imgp, g.per_img).reshape(-1, g.block)
+
+        def stream_weights(labels, order, lab):
+            return image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.BATCH_QUOTA,
+                weighting=Weighting.SUM,
+                order=order,
+            )
+
+        def fn(images, labels, order, x, lab, at, bt, *bank_args):
+            n = images.shape[0]
+            w_img = stream_weights(labels, order, lab)
+            # chunks stream FLATTENED ([cs, h*w*c]): a c=3-minor scan operand
+            # would be layout-padded to 128 lanes (42x HBM bloat; see els_sweep)
+            pad = (-n) % (n_dev * cs)
+            images_p = jnp.concatenate(
+                [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(
+                (n_dev, -1, cs, h * w * c) if mesh is not None else (-1, cs, h * w * c)
+            )
+            w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
+                (n_dev, -1, cs) if mesh is not None else (-1, cs)
+            )
+
+            xq = extract_patches(pad_image(x, p, "zeros"), k)  # [b, h, w, d]
+            queries = make_queries(x, xq)
+            states = init_states()
+            step = make_step(queries, at, bt)
+
             if mesh is None:
                 states, _ = jax.lax.scan(step, states, (images_p, w_img_p))
             else:
@@ -344,54 +446,102 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
                 # compact chunked layout [nblk, B*d] etc. (scores.bank);
                 # each step reshapes its own block back to [B, d]
                 bank, bank_ctr, bank_pn = bank_args
-                g = bank_geometry(n, h, w, c, k, B)
-                per, Bc = g.per_img, g.block
-                pad_img = g.nblk * g.cs - n
-                w_imgp = (
-                    jnp.concatenate([w_img, jnp.zeros((pad_img,), w_img.dtype)])
-                    if pad_img
-                    else w_img
-                )
-                w_b = jnp.repeat(w_imgp, per).reshape(-1, Bc)
-                M = b * per
+                w_b = center_w_b(w_img)
+                M = b * g.per_img
                 cs1, cs2 = banked_sweep(
-                    q_center.reshape(M, d), qn_center.reshape(M),
+                    queries["center"].reshape(M, d),
+                    queries["center_n"].reshape(M),
                     bank, bank_ctr, bank_pn, w_b, at, bt,
-                    B=Bc, d=d, c=c, use_pallas=use_pallas,
+                    B=g.block, d=d, c=c, use_pallas=use_pallas,
                     precision=precision,
                 )
                 mc = (cs2 / cs1[:, None]).reshape(b, hc, wc, c)
+            else:
+                st = states["center"]
+                mc = (st.s2 / st.s1[..., None]).reshape(b, hc, wc, c)
 
-            # --- assemble the score image -------------------------------
-            def mean_v(st):
-                return st.s2 / st.s1[..., None]
+            return assemble(states, mc, x, at, bt)
 
-            if not center_banked:
-                mc = mean_v(states["center"]).reshape(b, hc, wc, c)
-            out = jnp.zeros_like(x)
-            out = out.at[:, rc, cc, :].set(-(x[:, rc, cc, :] - at * mc) / (bt**2))
+        if n_seg == 1 and n_seg_c == 1:
+            return jax.jit(fn)
 
-            for nm, rows in (("top", top), ("bottom", bottom)):
-                m = jnp.moveaxis(mean_v(states[f"row_{nm}"]), 0, 1)  # [b, R, wc, c]
-                out = out.at[:, rows, cc, :].set(
-                    -(x[:, rows, cc, :] - at * m) / (bt**2)
+        # --- segmented dispatch (ops.dispatch): the border-region scan and
+        # the cached-center bank sweep each split into back-to-back
+        # executions with softmax states carried on device between them —
+        # bit-exact vs the one-shot path (the scans are sequential either
+        # way), but no single execution outlives the dispatch target (the
+        # axon tunnel kills ~60 s+ calls). mesh path never segments (its
+        # per-device work is already 1/n_dev).
+        @jax.jit
+        def prep(images, labels, order, x, lab):
+            n = images.shape[0]
+            w_img = stream_weights(labels, order, lab)
+            pad = (-n) % cs
+            images_p = jnp.concatenate(
+                [images.reshape(n, h * w * c),
+                 jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(-1, cs, h * w * c)
+            w_img_p = jnp.concatenate(
+                [w_img, jnp.zeros((pad,), w_img.dtype)]
+            ).reshape(-1, cs)
+            xq = extract_patches(pad_image(x, p, "zeros"), k)
+            return images_p, w_img_p, make_queries(x, xq), w_img
+
+        @jax.jit
+        def region_seg(images_s, w_s, queries, at, bt, states):
+            step = make_step(queries, at, bt)
+            states, _ = jax.lax.scan(step, states, (images_s, w_s))
+            return states
+
+        qsz = -(-n_chunks_ // n_seg)
+        edges = list(range(0, n_chunks_, qsz)) + [n_chunks_]
+
+        if center_banked:
+            Mc = b * g.per_img
+
+            @jax.jit
+            def center_seg(bank_s, ctr_s, pn_s, w_s, qc, qcn, at, bt, state):
+                return banked_sweep(
+                    qc, qcn, bank_s, ctr_s, pn_s, w_s, at, bt,
+                    B=g.block, d=d, c=c, use_pallas=use_pallas,
+                    precision=precision, state0=state, return_m=True,
                 )
-            for nm, cols in (("left", left), ("right", right)):
-                m = jnp.transpose(mean_v(states[f"col_{nm}"]), (1, 2, 0, 3))
-                out = out.at[:, rc, cols, :].set(
-                    -(x[:, rc, cols, :] - at * m) / (bt**2)
-                )
-            for nm, (rows, cols) in {
-                "tl": (top, left),
-                "tr": (top, right),
-                "bl": (bottom, left),
-                "br": (bottom, right),
-            }.items():
-                m = mean_v(states[f"corner_{nm}"])  # [p*p, b, c]
-                m = m.transpose(1, 0, 2).reshape(b, p, p, c)
-                out = out.at[:, rows, cols, :].set(
-                    -(x[:, rows, cols, :] - at * m) / (bt**2)
-                )
-            return out
 
-        return jax.jit(fn)
+            qsz_c = -(-g.nblk // n_seg_c)
+            edges_c = list(range(0, g.nblk, qsz_c)) + [g.nblk]
+
+        @jax.jit
+        def finish(states, mc, x, at, bt):
+            return assemble(states, mc, x, at, bt)
+
+        def host_fn(images, labels, order, x, lab, at, bt, *bank_args):
+            images_p, w_img_p, queries, w_img = prep(
+                images, labels, order, x, lab
+            )
+            states = init_states()
+            for i0, i1 in zip(edges[:-1], edges[1:]):
+                states = region_seg(
+                    images_p[i0:i1], w_img_p[i0:i1], queries, at, bt, states
+                )
+            if center_banked:
+                bank, bank_ctr, bank_pn = bank_args
+                w_b = center_w_b(w_img)
+                qc = queries["center"].reshape(Mc, d)
+                qcn = queries["center_n"].reshape(Mc)
+                st = (
+                    jnp.full((Mc,), -jnp.inf, jnp.float32),
+                    jnp.zeros((Mc,), jnp.float32),
+                    jnp.zeros((Mc, c), jnp.float32),
+                )
+                for i0, i1 in zip(edges_c[:-1], edges_c[1:]):
+                    st = center_seg(
+                        bank[i0:i1], bank_ctr[i0:i1], bank_pn[i0:i1],
+                        w_b[i0:i1], qc, qcn, at, bt, st,
+                    )
+                mc = (st[2] / st[1][:, None]).reshape(b, hc, wc, c)
+            else:
+                stc = states["center"]
+                mc = (stc.s2 / stc.s1[..., None]).reshape(b, hc, wc, c)
+            return finish(states, mc, x, at, bt)
+
+        return host_fn

@@ -25,11 +25,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.dispatch import plan_segments
 from ..ops.patches import extract_patches, pad_image, patch_centers
 from .bank import BankCacheMixin, bank_geometry
 from .base import ScoreModuleBase
 from .common import (
     CutoffRule,
+    SoftmaxState,
     Weighting,
     image_weights,
     init_state,
@@ -56,12 +58,16 @@ def els_sweep(
     c: int,
     use_pallas: bool,
     precision: str = "highest",
+    state0=None,  # (m [M], s1 [M], s2 [M, c]) -inf convention; None = empty
 ):
     """Stream the chunked patch bank through the online softmax; returns the
     flat running state (m [M], s1 [M], s2 [M, c]) with -inf empty convention.
 
     Shared by the single-device module and the dataset-sharded parallel
-    module (each device sweeps its shard, then states merge over ICI)."""
+    module (each device sweeps its shard, then states merge over ICI).
+    `state0` lets dispatch segmentation (ops.dispatch) chain several sweeps
+    over slices of the chunk axis — bit-exact vs one sweep, because the scan
+    is sequential either way."""
     d = xq_flat.shape[1]
     M = xq_flat.shape[0]
     beta2 = 2.0 * bt**2
@@ -89,12 +95,15 @@ def els_sweep(
                 None,
             )
 
-        state0 = state_to_pallas(
-            jnp.full((M,), -jnp.inf, jnp.float32),
-            jnp.zeros((M,), jnp.float32),
-            jnp.zeros((M, c), jnp.float32),
+        if state0 is None:
+            state0 = (
+                jnp.full((M,), -jnp.inf, jnp.float32),
+                jnp.zeros((M,), jnp.float32),
+                jnp.zeros((M, c), jnp.float32),
+            )
+        state, _ = jax.lax.scan(
+            step, state_to_pallas(*state0), (images_p, w_img_p)
         )
-        state, _ = jax.lax.scan(step, state0, (images_p, w_img_p))
         return state_from_pallas(*state)
 
     # jnp fallback path: honor the precision ladder like the kernel —
@@ -118,7 +127,8 @@ def els_sweep(
         logits = -(qn_flat[:, None] - 2.0 * at * dots + at**2 * pn) / beta2
         return update_state(state, logits, w_p[None, :], centers), None
 
-    state, _ = jax.lax.scan(step, init_state((M,), c), (images_p, w_img_p))
+    init = SoftmaxState(*state0) if state0 is not None else init_state((M,), c)
+    state, _ = jax.lax.scan(step, init, (images_p, w_img_p))
     return state.m, state.s1, state.s2
 
 
@@ -138,12 +148,16 @@ def banked_sweep(
     use_pallas: bool,
     precision: str,
     rows_per_seed: int | None = None,  # required when w_b is per-seed
+    state0=None,  # (m, s1, s2) -inf convention; None = empty
+    return_m: bool = False,  # also return m (for segment chaining)
 ):
     """Scan prebuilt bank chunks through the online softmax; returns
-    (s1 [M], s2 [M, c]). The single sweep implementation behind both the
-    ELS bank mode and the bbELS center region (their banks are identical:
-    the valid k x k patches of the training images). Each step reshapes
-    its own flat block back to [B, d] — a transient few-MB padded copy."""
+    (s1 [M], s2 [M, c]) — or (m, s1, s2) with return_m, so dispatch
+    segmentation (ops.dispatch) can chain sweeps over nblk slices via
+    `state0`. The single sweep implementation behind both the ELS bank
+    mode and the bbELS center region (their banks are identical: the valid
+    k x k patches of the training images). Each step reshapes its own flat
+    block back to [B, d] — a transient few-MB padded copy."""
     M = q_flat.shape[0]
     beta2 = 2.0 * bt**2
     vector = w_b.ndim == 3
@@ -168,14 +182,17 @@ def banked_sweep(
                 None,
             )
 
-        state0 = state_to_pallas(
-            jnp.full((M,), -jnp.inf, jnp.float32),
-            jnp.zeros((M,), jnp.float32),
-            jnp.zeros((M, c), jnp.float32),
+        if state0 is None:
+            state0 = (
+                jnp.full((M,), -jnp.inf, jnp.float32),
+                jnp.zeros((M,), jnp.float32),
+                jnp.zeros((M, c), jnp.float32),
+            )
+        state, _ = jax.lax.scan(
+            step, state_to_pallas(*state0), (bank, centers, pn, w_b)
         )
-        state, _ = jax.lax.scan(step, state0, (bank, centers, pn, w_b))
-        _, s1, s2 = state_from_pallas(*state)
-        return s1, s2
+        m, s1, s2 = state_from_pallas(*state)
+        return (m, s1, s2) if return_m else (s1, s2)
 
     jnp_prec = (
         jax.lax.Precision.HIGHEST
@@ -195,8 +212,11 @@ def banked_sweep(
             return update_state(state, logits, wrow, vb), None
         return update_state(state, logits, wb[None, :], vb), None
 
-    state, _ = jax.lax.scan(step, init_state((M,), c), (bank, centers, pn, w_b))
-    return state.s1, state.s2
+    init = SoftmaxState(*state0) if state0 is not None else init_state((M,), c)
+    state, _ = jax.lax.scan(step, init, (bank, centers, pn, w_b))
+    return (
+        (state.m, state.s1, state.s2) if return_m else (state.s1, state.s2)
+    )
 
 
 class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
@@ -221,6 +241,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         use_pallas: bool | None = None,
         bank_budget_bytes: int = 8 << 30,
         bank_ledger=None,
+        dispatch_target_s: float | None = None,
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -243,6 +264,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         self._init_bank_cache(
             target_block=target_block, use_pallas=use_pallas,
             bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
+            dispatch_target_s=dispatch_target_s,
         )
 
     def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
@@ -263,6 +285,14 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         g = bank_geometry(n_img, h, w, c, k, self.target_block)
         per_img, B, d = g.per_img, g.block, g.d
         pad_img = g.nblk * g.cs - n_img
+        b = x_shape[0]
+        # dispatch segmentation: bound each device execution's wall-clock
+        # (ops.dispatch — the axon tunnel kills executions over ~60 s)
+        n_seg = plan_segments(
+            float(g.nblk) * B * (b * h * w),
+            precision=self.precision, d=d, n_chunks=g.nblk,
+            target_s=self.dispatch_target_s,
+        )
 
         def fn(bank, centers, pn, labels, order, x, lab, at, bt):
             # bank/centers/pn arrive in the compact chunked layout
@@ -315,7 +345,82 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
             return score.reshape(x.shape)
 
-        return jax.jit(fn)
+        if n_seg == 1:
+            return jax.jit(fn)
+
+        # --- segmented dispatch (n_seg > 1): the sweep splits into n_seg
+        # back-to-back executions over nblk slices, softmax state carried on
+        # device between them — bit-exact vs the one-shot path (the scan is
+        # sequential either way), but no single execution outlives the
+        # dispatch target (ops.dispatch; the axon tunnel kills ~60 s+ calls).
+        # Slicing the cached bank per segment is a transient device copy of
+        # 1/n_seg of the bank; the last segment may be shorter (at most two
+        # distinct compile shapes).
+        hw = h * w
+        M = b * hw
+        precision = self.precision
+        qsz = -(-g.nblk // n_seg)
+        edges = list(range(0, g.nblk, qsz)) + [g.nblk]
+
+        @jax.jit
+        def prep(labels, order, x, lab):
+            def weights_for(one_lab):
+                w_img = image_weights(
+                    labels,
+                    one_lab,
+                    batch_size=batch_size,
+                    max_samples=max_samples,
+                    cutoff=CutoffRule.UNFILTERED,
+                    weighting=Weighting.MEAN,
+                    per_image_bank=per_img,
+                    order=order,
+                )
+                if pad_img:
+                    w_img = jnp.concatenate(
+                        [w_img, jnp.zeros((pad_img,), w_img.dtype)]
+                    )
+                return jnp.repeat(w_img, per_img)
+
+            if vector_label:
+                w_patch = jax.vmap(weights_for)(lab)
+                w_b = w_patch.reshape(b, -1, B).transpose(1, 0, 2)
+            else:
+                w_b = weights_for(lab if has_label else None).reshape(-1, B)
+            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
+            xq_flat = xq.reshape(M, d)
+            qn_flat = jnp.sum(xq_flat**2, axis=-1)
+            return w_b, xq_flat, qn_flat
+
+        @jax.jit
+        def seg(bank_s, centers_s, pn_s, w_s, xq_flat, qn_flat, at, bt, state):
+            return banked_sweep(
+                xq_flat, qn_flat, bank_s, centers_s, pn_s, w_s, at, bt,
+                B=B, d=d, c=c, use_pallas=use_pallas, precision=precision,
+                rows_per_seed=hw if vector_label else None,
+                state0=state, return_m=True,
+            )
+
+        @jax.jit
+        def finish(s1_, s2_, x, at, bt):
+            mean_center = (s2_ / s1_[:, None]).reshape(b, hw, c)
+            score = -(x.reshape(b, hw, c) - at * mean_center) / (bt**2)
+            return score.reshape(x.shape)
+
+        def host_fn(bank, centers, pn, labels, order, x, lab, at, bt):
+            w_b, xq_flat, qn_flat = prep(labels, order, x, lab)
+            state = (
+                jnp.full((M,), -jnp.inf, jnp.float32),
+                jnp.zeros((M,), jnp.float32),
+                jnp.zeros((M, c), jnp.float32),
+            )
+            for i0, i1 in zip(edges[:-1], edges[1:]):
+                state = seg(
+                    bank[i0:i1], centers[i0:i1], pn[i0:i1], w_b[i0:i1],
+                    xq_flat, qn_flat, at, bt, state,
+                )
+            return finish(state[1], state[2], x, at, bt)
+
+        return host_fn
 
     def __call__(self, t, x, label=None, device=None, k=None, order=None):
         kk = int(k) if k is not None else self.kernel_size
@@ -397,6 +502,19 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         shard_axis = getattr(self, "axis", "data")
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
+        # dispatch segmentation plan (single-device only: a sharded sweep's
+        # per-device work is already 1/n_dev, and the shard_map carry would
+        # need sharded state threading for marginal benefit)
+        n_img, hh, ww, cc = self.images.shape
+        b_ = x_shape[0]
+        per_img_ = (hh - k + 1) * (ww - k + 1)
+        n_chunks_ = -(-n_img // cs)
+        n_seg = 1 if mesh is not None else plan_segments(
+            float(n_chunks_) * cs * per_img_ * (b_ * hh * ww),
+            precision=precision, d=k * k * cc, n_chunks=n_chunks_,
+            target_s=self.dispatch_target_s,
+        )
+
         def fn(images, labels, order, x, lab, at, bt):
             n, h, w, c = images.shape
             hp, wp = h - k + 1, w - k + 1
@@ -466,4 +584,76 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
             return score.reshape(x.shape)
 
-        return jax.jit(fn)
+        if n_seg == 1:
+            return jax.jit(fn)
+
+        # --- segmented dispatch (n_seg > 1, single device): the chunk scan
+        # splits into n_seg back-to-back executions, the online-softmax state
+        # carried on device between them — bit-exact vs the one-shot scan
+        # (sequential either way), but each execution stays under the
+        # dispatch target (ops.dispatch; the axon tunnel kills ~60 s+ calls).
+        h, w, c = hh, ww, cc
+        per_img = per_img_
+        d = k * k * c
+        b = b_
+        M = b * h * w
+        qsz = -(-n_chunks_ // n_seg)
+        edges = list(range(0, n_chunks_, qsz)) + [n_chunks_]
+
+        @jax.jit
+        def prep(images, labels, order, x, lab):
+            n = images.shape[0]
+            w_img = image_weights(
+                labels,
+                lab if has_label else None,
+                batch_size=batch_size,
+                max_samples=max_samples,
+                cutoff=CutoffRule.UNFILTERED,
+                weighting=Weighting.MEAN,
+                per_image_bank=per_img,
+                order=order,
+            )
+            pad = (-n) % cs
+            images_p = jnp.concatenate(
+                [images.reshape(n, h * w * c),
+                 jnp.zeros((pad, h * w * c), images.dtype)]
+            ).reshape(-1, cs, h * w * c)
+            w_img_p = jnp.concatenate(
+                [w_img, jnp.zeros((pad,), w_img.dtype)]
+            ).reshape(-1, cs)
+            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
+            xq_flat = xq.reshape(M, d)
+            qn_flat = jnp.sum(xq_flat**2, axis=-1)
+            return images_p, w_img_p, xq_flat, qn_flat
+
+        @jax.jit
+        def seg(images_s, w_s, xq_flat, qn_flat, at, bt, state):
+            return els_sweep(
+                images_s, w_s, xq_flat, qn_flat, at, bt,
+                k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
+                use_pallas=use_pallas, precision=precision, state0=state,
+            )
+
+        @jax.jit
+        def finish(s1_, s2_, x, at, bt):
+            mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
+            score = -(x.reshape(b, h * w, c) - at * mean_center) / (bt**2)
+            return score.reshape(x.shape)
+
+        def host_fn(images, labels, order, x, lab, at, bt):
+            images_p, w_img_p, xq_flat, qn_flat = prep(
+                images, labels, order, x, lab
+            )
+            state = (
+                jnp.full((M,), -jnp.inf, jnp.float32),
+                jnp.zeros((M,), jnp.float32),
+                jnp.zeros((M, c), jnp.float32),
+            )
+            for i0, i1 in zip(edges[:-1], edges[1:]):
+                state = seg(
+                    images_p[i0:i1], w_img_p[i0:i1], xq_flat, qn_flat,
+                    at, bt, state,
+                )
+            return finish(state[1], state[2], x, at, bt)
+
+        return host_fn
