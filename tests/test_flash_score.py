@@ -169,6 +169,8 @@ def test_mxu1_requires_fast_mode():
         (256, 512, 129, 3),    # d just over a tile boundary
         (1025, 513, 27, 2),    # M/P just over block multiples
         (64, 2048, 75, 4),     # wide bank, k=5-ish d
+        (64, 600, 1083, 3),    # k=19@64x64 d: the dp<=1152 256x1024 branch
+        (32, 300, 2187, 3),    # k=27@64x64 d: the dp>2048 256-wide branch
     ],
 )
 def test_fuzz_shapes_interpret(M, P, d, c):
@@ -205,10 +207,15 @@ def test_fuzz_shapes_interpret(M, P, d, c):
     ref = update_state(init_state((M,), c), logits, w[None, :], vals)
     # scale-aware tolerance (the framework parity target is 1e-3 on
     # [-1,1]-scale pixels; the kernel's restructured arithmetic rounds
-    # differently from the jnp reference at ~1e-5 absolute)
+    # differently from the jnp reference at ~1e-5 absolute). Logit
+    # magnitudes grow ~d for unit-variance data (qn ~ d amplified by
+    # 1/(2 beta^2)), so the fp32 max-subtraction rounding — and with it the
+    # kernel-vs-jnp divergence — scales with d past a couple of lane tiles
+    # (measured 2.4e-4 at d=1083 vs <5e-5 at d<=129; both formulations are
+    # equally rounded, they just round differently).
     ours = np.asarray(s2 / s1[:, None])
     want = np.asarray(ref.s2 / ref.s1[:, None])
-    scale = max(np.abs(want).max(), 1.0)
+    scale = max(np.abs(want).max(), 1.0) * max(1.0, d / 128)
     np.testing.assert_allclose(ours, want, atol=5e-5 * scale)
     # m+log(s1) is offset-invariant: compare the true log-sum-exp
     np.testing.assert_allclose(
