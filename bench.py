@@ -97,6 +97,34 @@ def bench_ddpm(batch=64, nsteps=1000, precision=None, iters=3):
     return ips, tflops
 
 
+def bench_ddpm64(batch=32, nsteps=1000, iters=3):
+    """64x64 UNet sampling — the reference's second flagship config
+    (training_script_64x64.py: CelebA, MinimalUNet fsizes [64,128,256,512],
+    zeros mode, conditional). Reported as images/sec (no MFU: a UNet's
+    analytic FLOP count is config-shaped and easy to get subtly wrong;
+    the ResNet headline already pins MFU)."""
+    batch = int(os.environ.get("BENCH_DDPM64_BATCH", batch))
+    nsteps = int(os.environ.get("BENCH_DDPM64_STEPS", nsteps))
+    from convolutional_diffusion_tpu.models import DiffusionModel, MinimalUNet
+    from convolutional_diffusion_tpu.sampling import make_sampler
+
+    net = MinimalUNet(
+        channels=3, fsizes=(64, 128, 256, 512), mode="zeros",
+        conditional=True, num_classes=2, lastksize=3,
+    )
+    model = DiffusionModel(net, in_channels=3, default_imsize=64)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1)
+    sampler = make_sampler(model, nsteps=nsteps, ddpm=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3))
+    labels = jnp.zeros((batch,), jnp.int32)
+
+    def run(params, x0, labels):
+        return sampler(params, x0, labels, key=jax.random.PRNGKey(2)).sum()
+
+    dt, _ = time_fn(run, params, x0, labels, warmup=1, iters=iters)
+    return batch / dt
+
+
 def _els_machine(kind, n_train, batch_size, precision):
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.scores import (
@@ -242,6 +270,15 @@ def main():
         details["train_step_images_per_sec"] = round(bench_train(), 1)
     except Exception as e:  # pragma: no cover
         details["train_error"] = repr(e)[:300]
+    emit(ddpm_ips)
+
+    # 64x64 UNet sampling (the second flagship config) — also cheap
+    try:
+        details["ddpm64_unet_1000step_images_per_sec_bf16mxu"] = round(
+            bench_ddpm64(), 3
+        )
+    except Exception as e:  # pragma: no cover
+        details["ddpm64_error"] = repr(e)[:300]
     emit(ddpm_ips)
 
     # Reference-scale analytic machines (50k bank, 20-step CIFAR10 scales).

@@ -474,23 +474,29 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         # per-device work is already 1/n_dev).
         @jax.jit
         def prep(images, labels, order, x, lab):
+            # 2-D flat arrays across the jit boundary: a [n_chunks, cs, hwc]
+            # OUTPUT can get an XLA output layout with cs minor — lane-padded
+            # cs -> 128, a multi-GB HBM blowup that OOMs the compile
+            # (measured; see the ELS segmented prep note). Segment fns
+            # re-do the [rows, hwc] -> [chunks, cs, hwc] reshape inside.
             n = images.shape[0]
             w_img = stream_weights(labels, order, lab)
             pad = (-n) % cs
-            images_p = jnp.concatenate(
+            images_flat = jnp.concatenate(
                 [images.reshape(n, h * w * c),
                  jnp.zeros((pad, h * w * c), images.dtype)]
-            ).reshape(-1, cs, h * w * c)
-            w_img_p = jnp.concatenate(
-                [w_img, jnp.zeros((pad,), w_img.dtype)]
-            ).reshape(-1, cs)
+            )
+            w_flat = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
             xq = extract_patches(pad_image(x, p, "zeros"), k)
-            return images_p, w_img_p, make_queries(x, xq), w_img
+            return images_flat, w_flat, make_queries(x, xq), w_img
 
         @jax.jit
         def region_seg(images_s, w_s, queries, at, bt, states):
             step = make_step(queries, at, bt)
-            states, _ = jax.lax.scan(step, states, (images_s, w_s))
+            states, _ = jax.lax.scan(
+                step, states,
+                (images_s.reshape(-1, cs, h * w * c), w_s.reshape(-1, cs)),
+            )
             return states
 
         qsz = -(-n_chunks_ // n_seg)
@@ -515,13 +521,14 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
             return assemble(states, mc, x, at, bt)
 
         def host_fn(images, labels, order, x, lab, at, bt, *bank_args):
-            images_p, w_img_p, queries, w_img = prep(
+            images_flat, w_flat, queries, w_img = prep(
                 images, labels, order, x, lab
             )
             states = init_states()
             for i0, i1 in zip(edges[:-1], edges[1:]):
                 states = region_seg(
-                    images_p[i0:i1], w_img_p[i0:i1], queries, at, bt, states
+                    images_flat[i0 * cs : i1 * cs],
+                    w_flat[i0 * cs : i1 * cs], queries, at, bt, states
                 )
             if center_banked:
                 bank, bank_ctr, bank_pn = bank_args

@@ -602,6 +602,14 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
 
         @jax.jit
         def prep(images, labels, order, x, lab):
+            # NOTE: arrays crossing this jit boundary stay 2-D with the big
+            # flat dim minor. A [n_chunks, cs, hwc] OUTPUT leaves its layout
+            # to XLA's output-layout assignment, which (measured, k=9@64x64)
+            # can pick the cs dim as minor — T(8,128) lane-pads cs=20 to 128,
+            # a 6.4x/14.7 GB HBM blowup that OOMs the compile. Inside the
+            # one-shot fn the same reshape sits next to its scan consumer
+            # and gets the sane flat-minor layout; the segment fn therefore
+            # re-does the [rows, hwc] -> [chunks, cs, hwc] reshape itself.
             n = images.shape[0]
             w_img = image_weights(
                 labels,
@@ -614,22 +622,21 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 order=order,
             )
             pad = (-n) % cs
-            images_p = jnp.concatenate(
+            images_flat = jnp.concatenate(
                 [images.reshape(n, h * w * c),
                  jnp.zeros((pad, h * w * c), images.dtype)]
-            ).reshape(-1, cs, h * w * c)
-            w_img_p = jnp.concatenate(
-                [w_img, jnp.zeros((pad,), w_img.dtype)]
-            ).reshape(-1, cs)
+            )
+            w_flat = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
             xq = extract_patches(pad_image(x, k // 2, "circular"), k)
             xq_flat = xq.reshape(M, d)
             qn_flat = jnp.sum(xq_flat**2, axis=-1)
-            return images_p, w_img_p, xq_flat, qn_flat
+            return images_flat, w_flat, xq_flat, qn_flat
 
         @jax.jit
         def seg(images_s, w_s, xq_flat, qn_flat, at, bt, state):
             return els_sweep(
-                images_s, w_s, xq_flat, qn_flat, at, bt,
+                images_s.reshape(-1, cs, h * w * c), w_s.reshape(-1, cs),
+                xq_flat, qn_flat, at, bt,
                 k=k, cs=cs, hwc=(h, w, c), per_img=per_img, c=c,
                 use_pallas=use_pallas, precision=precision, state0=state,
             )
@@ -641,7 +648,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             return score.reshape(x.shape)
 
         def host_fn(images, labels, order, x, lab, at, bt):
-            images_p, w_img_p, xq_flat, qn_flat = prep(
+            images_flat, w_flat, xq_flat, qn_flat = prep(
                 images, labels, order, x, lab
             )
             state = (
@@ -651,8 +658,8 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             )
             for i0, i1 in zip(edges[:-1], edges[1:]):
                 state = seg(
-                    images_p[i0:i1], w_img_p[i0:i1], xq_flat, qn_flat,
-                    at, bt, state,
+                    images_flat[i0 * cs : i1 * cs], w_flat[i0 * cs : i1 * cs],
+                    xq_flat, qn_flat, at, bt, state,
                 )
             return finish(state[1], state[2], x, at, bt)
 
