@@ -40,6 +40,13 @@ NEG_INF = float(-1e30)  # finite -inf stand-in: keeps exp()/rescale exact at fp3
 # at CPU-sized shapes (tests/test_flash_score.py::test_query_chunking).
 QCHUNK = 16384  # query rows per chunked call
 QCHUNK_MIN_DP = 640  # padded d at/above which chunking engages
+# At dp >= 1152 the kernel tiles are ~2.6 MB bigger than the dp=896 configs
+# the 16384-row chunk was validated on, and the chunk outputs XLA places in
+# scoped VMEM (S(1), [Q,128] plus two [Q,1] columns) tip the 16 MB stack
+# over by ~0.8 MB (measured AOT error, k=19@64x64 'high' 256x1024 blocks).
+# Halve the chunk there: outputs shrink ~4.2 MB, rate impact is noise (the
+# grid already re-reads K per 256-row query block either way).
+QCHUNK_BIG_DP = 1152  # padded d at/above which the chunk halves
 
 
 def _round_up(x: int, m: int) -> int:
@@ -273,7 +280,8 @@ def flash_score_update(
     if M > 32768 and 384 <= _round_up(d, 128) < 640 and block_q is None:
         block_q = 256
 
-    if M > QCHUNK and _round_up(d, 128) >= QCHUNK_MIN_DP:
+    qchunk = QCHUNK if _round_up(d, 128) < QCHUNK_BIG_DP else QCHUNK // 2
+    if M > qchunk and _round_up(d, 128) >= QCHUNK_MIN_DP:
         # The chunked calls' outputs get VMEM-placed by XLA (it fuses the
         # concatenate), so the default 512-row query tiles push the scoped
         # stack over 16M (by 220K at 2 chunks/dp=896; by 2.5M at 4
@@ -282,13 +290,13 @@ def flash_score_update(
         bq_chunk = block_q if block_q is not None else 256
         outs = [
             flash_score_update(
-                q[i : i + QCHUNK], qn[i : i + QCHUNK], bank, pn, values, w,
+                q[i : i + qchunk], qn[i : i + qchunk], bank, pn, values, w,
                 at, bt,
-                (m0[i : i + QCHUNK], s10[i : i + QCHUNK], s20[i : i + QCHUNK]),
+                (m0[i : i + qchunk], s10[i : i + qchunk], s20[i : i + qchunk]),
                 block_q=bq_chunk, block_p=block_p, interpret=interpret,
                 precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
             )
-            for i in range(0, M, QCHUNK)
+            for i in range(0, M, qchunk)
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
