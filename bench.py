@@ -51,6 +51,10 @@ FLAGSHIP_FLOPS_PER_IMG_STEP = (
     + 9 * 2 * 256 * 256
 )
 CIFAR10_SCALES = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17, 17]
+# BASELINE.md CelebA_UNet_zeros row — the 64x64 workload (k up to 27, the
+# large-d kernel regime); env-gated in the variant list (BENCH_CELEBA64=1)
+# because one machine call is ~20+ min of pure compute at 50k images.
+CELEBA64_SCALES = [3, 3, 3, 3, 3, 3, 3, 5, 5, 5, 5, 5, 7, 7, 9, 9, 9, 13, 19, 27]
 
 
 def time_fn(fn, *args, warmup=1, iters=1):
@@ -125,7 +129,7 @@ def bench_ddpm64(batch=32, nsteps=1000, iters=3):
     return batch / dt
 
 
-def _els_machine(kind, n_train, batch_size, precision):
+def _els_machine(kind, n_train, batch_size, precision, imsize=32):
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.scores import (
         LocalEquivBordersScoreModule,
@@ -133,7 +137,8 @@ def _els_machine(kind, n_train, batch_size, precision):
         ScheduledScoreMachine,
     )
 
-    ds = synthetic_dataset(num_samples=n_train, image_size=32, num_channels=3)
+    ds = synthetic_dataset(num_samples=n_train, image_size=imsize,
+                           num_channels=3)
     cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
     mod = cls(
         (ds.images, ds.labels), batch_size=batch_size,
@@ -141,11 +146,13 @@ def _els_machine(kind, n_train, batch_size, precision):
         precision=precision,
     )
     return ScheduledScoreMachine(
-        mod, in_channels=3, imsize=32, scales=CIFAR10_SCALES
+        mod, in_channels=3, imsize=imsize,
+        scales=CELEBA64_SCALES if imsize == 64 else CIFAR10_SCALES,
     )
 
 
-def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
+def bench_els(kind="ELS", batch=None, n_train=None, precision="highest",
+              imsize=32):
     """20-step machine over the FULL 50k-image bank with the repo's real
     CIFAR10 scales (8 distinct kernel sizes) — the reference els_script
     workload (numiters over the whole training set). One warmup machine call
@@ -155,8 +162,8 @@ def bench_els(kind="ELS", batch=None, n_train=None, precision="highest"):
     negligible over a run this long)."""
     batch = batch or int(os.environ.get("BENCH_ELS_BATCH", 8))
     n_train = n_train or int(os.environ.get("BENCH_ELS_NTRAIN", 50000))
-    machine = _els_machine(kind, n_train, 256, precision)
-    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 32, 32, 3))
+    machine = _els_machine(kind, n_train, 256, precision, imsize=imsize)
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, imsize, imsize, 3))
 
     def run(x):
         return machine(x).sum()
@@ -296,13 +303,20 @@ def main():
     # entries measure per-chip CAPACITY (throughput-optimal seed batch)
     # rather than reference-like batch-8 latency.
     variants = [
-        ("ELS", "highest", 0, "els_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "high", 0, "els_20step_50kbank_images_per_sec_bf16x3"),
-        ("ELS", "high", 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
-        ("bbELS", "highest", 0, "bbels_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "default", 0, "els_20step_50kbank_images_per_sec_fast"),
+        ("ELS", "highest", 0, 32, "els_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "high", 0, 32, "els_20step_50kbank_images_per_sec_bf16x3"),
+        ("ELS", "high", 32, 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
+        ("bbELS", "highest", 0, 32, "bbels_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "default", 0, 32, "els_20step_50kbank_images_per_sec_fast"),
     ]
-    for kind, precision, batch, tag in variants:
+    if os.environ.get("BENCH_CELEBA64"):
+        # BASELINE.md CelebA_UNet_zeros workload (64x64, k up to 27):
+        # ~25 min of pure compute per machine call at 50k images, so
+        # opt-in only — and it needs its own budget headroom.
+        variants.append(
+            ("ELS", "high", 0, 64,
+             "els64_20step_50kbank_celeba64_images_per_sec_bf16x3"))
+    for kind, precision, batch, imsize, tag in variants:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 120:
             details[tag + "_skipped"] = "over BENCH_BUDGET_S"
@@ -311,7 +325,7 @@ def main():
         try:
             proc = subprocess.run(
                 [_sys.executable, os.path.abspath(__file__), "--els-only",
-                 kind, precision, str(batch)],
+                 kind, precision, str(batch), str(imsize)],
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -331,10 +345,13 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--els-only":
         # subprocess entry: one ELS/bbELS variant, one JSON line on stdout;
-        # argv[4] (optional) overrides the seed batch (0 = default/env)
+        # argv[4] (optional) overrides the seed batch (0 = default/env),
+        # argv[5] (optional) the image size (64 = the CelebA_UNet workload)
         try:
             b = int(sys.argv[4]) if len(sys.argv) >= 5 else 0
-            ips = bench_els(sys.argv[2], batch=b or None, precision=sys.argv[3])
+            isz = int(sys.argv[5]) if len(sys.argv) >= 6 else 32
+            ips = bench_els(sys.argv[2], batch=b or None,
+                            precision=sys.argv[3], imsize=isz)
             print(json.dumps({"ips": ips}))
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}))
