@@ -1,0 +1,40 @@
+"""The bench harness's machine-construction plumbing (not timing): the
+subprocess entry points must build the right machine for each variant row,
+including the opt-in 64x64 CelebA_UNet workload (BASELINE.md scales row)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_els_machine_cifar_default():
+    m = bench._els_machine("ELS", 32, 16, "high")
+    assert m.imsize == 32
+    assert list(m.scales) == bench.CIFAR10_SCALES
+
+
+def test_els_machine_celeba64():
+    m = bench._els_machine("ELS", 16, 16, "high", imsize=64)
+    assert m.imsize == 64
+    assert list(m.scales) == bench.CELEBA64_SCALES
+    assert max(m.scales) == 27  # the large-d regime rows
+    assert m.backbone.images.shape[1:] == (64, 64, 3)
+
+
+def test_celeba64_scales_match_baseline_row():
+    # BASELINE.md CelebA_UNet_zeros: 20 entries, k in {3,5,7,9,13,19,27}
+    s = bench.CELEBA64_SCALES
+    assert len(s) == 20
+    assert sorted(set(s)) == [3, 5, 7, 9, 13, 19, 27]
+
+
+@pytest.mark.parametrize("kind", ["ELS", "bbELS"])
+def test_els_machine_kind(kind):
+    m = bench._els_machine(kind, 16, 16, "highest")
+    name = type(m.backbone).__name__
+    assert ("Borders" in name) == (kind == "bbELS")
