@@ -230,7 +230,7 @@ def stage_celeba64(precisions=("high", "highest"), batch=8, n=50000):
             try:
                 dt = step_time(mod, k, batch, imsize=64)
             except Exception as e:
-                res[key] = {"error": repr(e)[:200]}
+                res[key] = {"error": repr(e)[:600]}
                 flush()
                 continue
             P = n * (65 - k) ** 2
@@ -248,6 +248,32 @@ def stage_celeba64(precisions=("high", "highest"), batch=8, n=50000):
         del mod
 
 
+def stage_celeba64_b32():
+    """64x64 per-chip capacity: same per-k steps at seed batch 32."""
+    counts = {}
+    for i in range(len(CELEBA64_SCALES) - 1, 0, -1):
+        counts[CELEBA64_SCALES[i]] = counts.get(CELEBA64_SCALES[i], 0) + 1
+    res = OUT.setdefault("celeba64", {})
+    batch = 32
+    mod = make_module(50000, precision="high", imsize=64)
+    for k in sorted(counts):
+        key = f"high/b{batch}/k{k}"
+        if "sec" in res.get(key, {}):
+            continue
+        try:
+            dt = step_time(mod, k, batch, imsize=64)
+        except Exception as e:
+            res[key] = {"error": repr(e)[:600]}
+            flush()
+            continue
+        res[key] = {"sec": round(dt, 3)}
+        flush()
+    if all("sec" in res.get(f"high/b{batch}/k{k}", {}) for k in counts):
+        tot = sum(counts[k] * res[f"high/b{batch}/k{k}"]["sec"] for k in counts)
+        res[f"high/b{batch}/predicted_machine_ips"] = round(batch / tot, 4)
+        flush()
+
+
 STAGES = {
     "per_k": stage_per_k,
     "extract_ab": stage_extract_ab,
@@ -257,6 +283,7 @@ STAGES = {
     "capacity_fp32": stage_capacity_fp32,
     "bbels": stage_bbels,
     "celeba64": stage_celeba64,
+    "celeba64_b32": stage_celeba64_b32,
 }
 
 if __name__ == "__main__":
