@@ -246,6 +246,39 @@ def main():
         # driver's window may only cover the headline — note it for the log
         details["cold_compile_cache"] = True
 
+    # Backend availability gate. The remote-TPU (axon) tunnel has real
+    # outages (hours, observed round 3); backend init inside THIS process
+    # would then block indefinitely and the run would produce ZERO output
+    # (the round-2 failure mode, BENCH_r02 rc=124/parsed=null). Probe in a
+    # bounded subprocess and, while the TPU is unreachable, keep an honest
+    # error line on stdout so the driver always has something to parse.
+    if not os.environ.get("BENCH_FORCE_CPU"):
+        import subprocess as _sp
+
+        probe_src = ("import jax, jax.numpy as jnp;"
+                     "print(jax.device_get(jnp.ones((4,)).sum()))")
+        wait_budget = float(os.environ.get("BENCH_TPU_WAIT_S", 3600))
+        probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", 600))
+        t_probe = time.perf_counter()
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                _sp.run([sys.executable, "-c", probe_src], timeout=probe_s,
+                        check=True, capture_output=True)
+                details.pop("tpu_unavailable_error", None)
+                break
+            except Exception:
+                waited = time.perf_counter() - t_probe
+                details["tpu_unavailable_error"] = (
+                    f"TPU backend unreachable after {attempt} bounded "
+                    f"probe(s), {waited:.0f}s waited — headline 0.0 is an "
+                    "availability artifact, not a measurement")
+                emit(0.0)
+                if waited > wait_budget:
+                    return
+                time.sleep(30)
+
     # Headline: bf16-MXU (TPU-native), 3 fenced iterations.
     ddpm_ips, tflops = bench_ddpm(precision=None)
     details["ddpm_1000step_images_per_sec_bf16mxu"] = round(ddpm_ips, 3)
