@@ -193,3 +193,22 @@ def test_build_score_module_mesh_routing(data):
         a = np.asarray(single(0.5, x, order=order))
         b = np.asarray(sharded(0.5, x, order=order))
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=kind)
+
+
+def test_sharded_els_large_d_regime():
+    """The 64x64-workload d regime (k=27 -> d=2187, the dp>2048 block-policy
+    branch): sharded == single on the 8-device mesh with a tiny bank,
+    end-to-end through the sharded merge — the CelebA_UNet_zeros workload's
+    hardest step d. imsize 48 keeps the CPU cost test-sized; d (and with it
+    every kernel-policy branch) depends only on k."""
+    rs = np.random.RandomState(7)
+    images = rs.uniform(-1, 1, size=(12, 48, 48, 3)).astype(np.float32)
+    labels = rs.randint(0, 2, size=(12,)).astype(np.int32)
+    x = rs.normal(size=(1, 48, 48, 3)).astype(np.float32)
+    mesh = make_mesh(8)
+    kw = dict(kernel_size=27, batch_size=4, schedule=cosine_noise_schedule)
+    single = LocalEquivScoreModule((images, labels), **kw)
+    sharded = ShardedLocalEquivScoreModule((images, labels), mesh=mesh, **kw)
+    a = np.asarray(single(0.5, x))
+    b = np.asarray(sharded(0.5, x))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
