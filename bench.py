@@ -33,13 +33,18 @@ if os.environ.get("BENCH_FORCE_CPU"):  # harness smoke-testing only
 import jax.numpy as jnp
 
 # persistent compile cache: the first run pays the remote compiles,
-# subsequent runs hit the cache
-try:
-    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+# subsequent runs hit the cache. Configured from the __main__ entry (not at
+# import time) so importing bench from the test suite doesn't repoint the
+# conftest's test cache.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _setup_compile_cache():
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 V5E_PEAK_TFLOPS = 197.0  # bf16 MXU nominal
 # analytic FLOPs of one flagship forward per image per step: 8 residual convs
@@ -376,6 +381,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _setup_compile_cache()
     if len(sys.argv) >= 4 and sys.argv[1] == "--els-only":
         # subprocess entry: one ELS/bbELS variant, one JSON line on stdout;
         # argv[4] (optional) overrides the seed batch (0 = default/env),

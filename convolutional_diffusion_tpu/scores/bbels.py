@@ -173,6 +173,8 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         left, right = slice(0, p), slice(w - p, w)
 
         # dispatch segmentation plan (ops.dispatch; single-device only —
+        # the execution watchdog is an axon-tunnel artifact and the tunnel
+        # exposes one chip; real multi-chip runtimes don't impose it, and
         # sharded sweeps already divide per-device work by n_dev). Border
         # pairs per chunk are exact; 1.5x covers the einsum/elementwise
         # overhead of the many-region formulation vs the flash kernel rates.
@@ -190,14 +192,25 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
         )
         if center_banked:
             g = bank_geometry(n_img, h, w, c, k, B)
+            pairs_center_banked = float(g.nblk) * g.block * (b * hc * wc)
             n_seg_c = 1 if mesh is not None else plan_segments(
-                float(g.nblk) * g.block * (b * hc * wc),
+                pairs_center_banked,
                 precision=precision, d=d, n_chunks=g.nblk,
+                target_s=self.dispatch_target_s,
+            )
+            # even when each sweep fits the target alone, the ONE-SHOT jit
+            # runs border scan + center sweep in a single execution — plan
+            # their COMBINED estimate too, else two ~target_s halves add up
+            # to the full ~60 s watchdog (the 2x margin exists for a reason)
+            n_combined = 1 if mesh is not None else plan_segments(
+                1.5 * pairs_border + pairs_center_banked,
+                precision=precision, d=d, n_chunks=2,
                 target_s=self.dispatch_target_s,
             )
         else:
             g = None
             n_seg_c = 1
+            n_combined = 1
 
         def make_queries(x, xq):
             """Per-region query tensors from the zero-padded windows of x
@@ -462,7 +475,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
 
             return assemble(states, mc, x, at, bt)
 
-        if n_seg == 1 and n_seg_c == 1:
+        if n_seg == 1 and n_seg_c == 1 and n_combined == 1:
             return jax.jit(fn)
 
         # --- segmented dispatch (ops.dispatch): the border-region scan and
@@ -488,7 +501,12 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
             )
             w_flat = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
             xq = extract_patches(pad_image(x, p, "zeros"), k)
-            return images_flat, w_flat, make_queries(x, xq), w_img
+            # the center sweep's per-block bank weights are built HERE (fused
+            # into the prep jit) — eager center_w_b per call would dispatch
+            # an unfused repeat/reshape over [n*per_img] (hundreds of MB at
+            # the 64x64/50k workload)
+            w_b = center_w_b(w_img) if center_banked else w_img
+            return images_flat, w_flat, make_queries(x, xq), w_b
 
         @jax.jit
         def region_seg(images_s, w_s, queries, at, bt, states):
@@ -521,7 +539,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
             return assemble(states, mc, x, at, bt)
 
         def host_fn(images, labels, order, x, lab, at, bt, *bank_args):
-            images_flat, w_flat, queries, w_img = prep(
+            images_flat, w_flat, queries, w_b = prep(
                 images, labels, order, x, lab
             )
             states = init_states()
@@ -532,7 +550,6 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
                 )
             if center_banked:
                 bank, bank_ctr, bank_pn = bank_args
-                w_b = center_w_b(w_img)
                 qc = queries["center"].reshape(Mc, d)
                 qcn = queries["center_n"].reshape(Mc)
                 st = (

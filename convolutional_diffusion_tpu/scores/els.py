@@ -294,10 +294,13 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             target_s=self.dispatch_target_s,
         )
 
-        def fn(bank, centers, pn, labels, order, x, lab, at, bt):
-            # bank/centers/pn arrive in the compact chunked layout
-            # ([nblk, B*d] etc. — see scores.bank); each scan step below
-            # reshapes its own block back to [B, d] (a transient small copy)
+        hw = h * w
+        M = b * hw
+
+        def build_inputs(labels, order, x, lab):
+            """Bank weights + flattened queries — the SINGLE source for both
+            the one-shot fn and the segmented prep jit (the two dispatch
+            paths must stay bit-identical; ops.dispatch tests pin it)."""
 
             def weights_for(one_lab):
                 w_img = image_weights(
@@ -318,21 +321,19 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
 
             if vector_label:
                 w_patch = jax.vmap(weights_for)(lab)  # [b, nblk * B]
+                w_b = w_patch.reshape(b, -1, B).transpose(1, 0, 2)  # [nblk, b, B]
             else:
-                w_patch = weights_for(lab if has_label else None)
-
-            b = x.shape[0]
-            hw = h * w
+                w_b = weights_for(lab if has_label else None).reshape(-1, B)
             xq = extract_patches(pad_image(x, k // 2, "circular"), k)
-            M = b * hw
             xq_flat = xq.reshape(M, d)
             qn_flat = jnp.sum(xq_flat**2, axis=-1)
+            return w_b, xq_flat, qn_flat
 
-            w_b = (
-                w_patch.reshape(b, -1, B).transpose(1, 0, 2)  # [nblk, b, B]
-                if vector_label
-                else w_patch.reshape(-1, B)
-            )
+        def fn(bank, centers, pn, labels, order, x, lab, at, bt):
+            # bank/centers/pn arrive in the compact chunked layout
+            # ([nblk, B*d] etc. — see scores.bank); each scan step below
+            # reshapes its own block back to [B, d] (a transient small copy)
+            w_b, xq_flat, qn_flat = build_inputs(labels, order, x, lab)
 
             s1_, s2_ = banked_sweep(
                 xq_flat, qn_flat, bank, centers, pn, w_b, at, bt,
@@ -356,40 +357,11 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         # Slicing the cached bank per segment is a transient device copy of
         # 1/n_seg of the bank; the last segment may be shorter (at most two
         # distinct compile shapes).
-        hw = h * w
-        M = b * hw
         precision = self.precision
         qsz = -(-g.nblk // n_seg)
         edges = list(range(0, g.nblk, qsz)) + [g.nblk]
 
-        @jax.jit
-        def prep(labels, order, x, lab):
-            def weights_for(one_lab):
-                w_img = image_weights(
-                    labels,
-                    one_lab,
-                    batch_size=batch_size,
-                    max_samples=max_samples,
-                    cutoff=CutoffRule.UNFILTERED,
-                    weighting=Weighting.MEAN,
-                    per_image_bank=per_img,
-                    order=order,
-                )
-                if pad_img:
-                    w_img = jnp.concatenate(
-                        [w_img, jnp.zeros((pad_img,), w_img.dtype)]
-                    )
-                return jnp.repeat(w_img, per_img)
-
-            if vector_label:
-                w_patch = jax.vmap(weights_for)(lab)
-                w_b = w_patch.reshape(b, -1, B).transpose(1, 0, 2)
-            else:
-                w_b = weights_for(lab if has_label else None).reshape(-1, B)
-            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
-            xq_flat = xq.reshape(M, d)
-            qn_flat = jnp.sum(xq_flat**2, axis=-1)
-            return w_b, xq_flat, qn_flat
+        prep = jax.jit(build_inputs)
 
         @jax.jit
         def seg(bank_s, centers_s, pn_s, w_s, xq_flat, qn_flat, at, bt, state):
@@ -502,9 +474,14 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         shard_axis = getattr(self, "axis", "data")
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
 
-        # dispatch segmentation plan (single-device only: a sharded sweep's
-        # per-device work is already 1/n_dev, and the shard_map carry would
-        # need sharded state threading for marginal benefit)
+        # dispatch segmentation plan (single-device only). A sharded sweep
+        # runs unsegmented by design: the ~60 s execution kill is an
+        # axon-TUNNEL artifact (ops/dispatch.py) and the tunnel exposes one
+        # chip — real multi-chip runtimes don't impose it, and per-device
+        # work is already 1/n_dev there. If a watchdog-limited multi-chip
+        # tunnel ever appears, segmenting would need the per-device softmax
+        # states threaded across shard_map boundaries (deferring the
+        # merge_collective to the last segment).
         n_img, hh, ww, cc = self.images.shape
         b_ = x_shape[0]
         per_img_ = (hh - k + 1) * (ww - k + 1)
@@ -515,11 +492,19 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             target_s=self.dispatch_target_s,
         )
 
-        def fn(images, labels, order, x, lab, at, bt):
-            n, h, w, c = images.shape
-            hp, wp = h - k + 1, w - k + 1
-            per_img = hp * wp
-            d = k * k * c
+        h, w, c = hh, ww, cc
+        per_img = per_img_
+        d = k * k * cc
+        b = b_
+        M = b * h * w
+
+        def stream_inputs(labels, order, x, lab):
+            """Stream weights + flattened queries — the SINGLE source for
+            both the one-shot fn and the segmented prep jit (the two
+            dispatch paths must stay bit-identical; ops.dispatch tests pin
+            it). The chunk padding/reshape stays per-path: the one-shot fn
+            is mesh-aware (leading n_dev dim) while the segmented prep must
+            keep arrays 2-D across its jit boundary (layout note below)."""
             w_img = image_weights(
                 labels,
                 lab if has_label else None,
@@ -530,6 +515,14 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 per_image_bank=per_img,
                 order=order,
             )
+            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
+            xq_flat = xq.reshape(M, d)
+            qn_flat = jnp.sum(xq_flat**2, axis=-1)  # [M]
+            return w_img, xq_flat, qn_flat
+
+        def fn(images, labels, order, x, lab, at, bt):
+            n = images.shape[0]
+            w_img, xq_flat, qn_flat = stream_inputs(labels, order, x, lab)
             pad = (-n) % (n_dev * cs)
             images_p = jnp.concatenate(
                 [images.reshape(n, h * w * c), jnp.zeros((pad, h * w * c), images.dtype)]
@@ -540,12 +533,6 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             w_img_p = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)]).reshape(
                 (n_dev, -1, cs) if mesh is not None else (-1, cs)
             )
-
-            b = x.shape[0]
-            xq = extract_patches(pad_image(x, k // 2, "circular"), k)  # [b,h,w,d]
-            M = b * h * w
-            xq_flat = xq.reshape(M, d)
-            qn_flat = jnp.sum(xq_flat**2, axis=-1)  # [M]
 
             if mesh is None:
                 _, s1_, s2_ = els_sweep(
@@ -592,11 +579,6 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         # carried on device between them — bit-exact vs the one-shot scan
         # (sequential either way), but each execution stays under the
         # dispatch target (ops.dispatch; the axon tunnel kills ~60 s+ calls).
-        h, w, c = hh, ww, cc
-        per_img = per_img_
-        d = k * k * c
-        b = b_
-        M = b * h * w
         qsz = -(-n_chunks_ // n_seg)
         edges = list(range(0, n_chunks_, qsz)) + [n_chunks_]
 
@@ -611,25 +593,13 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             # and gets the sane flat-minor layout; the segment fn therefore
             # re-does the [rows, hwc] -> [chunks, cs, hwc] reshape itself.
             n = images.shape[0]
-            w_img = image_weights(
-                labels,
-                lab if has_label else None,
-                batch_size=batch_size,
-                max_samples=max_samples,
-                cutoff=CutoffRule.UNFILTERED,
-                weighting=Weighting.MEAN,
-                per_image_bank=per_img,
-                order=order,
-            )
+            w_img, xq_flat, qn_flat = stream_inputs(labels, order, x, lab)
             pad = (-n) % cs
             images_flat = jnp.concatenate(
                 [images.reshape(n, h * w * c),
                  jnp.zeros((pad, h * w * c), images.dtype)]
             )
             w_flat = jnp.concatenate([w_img, jnp.zeros((pad,), w_img.dtype)])
-            xq = extract_patches(pad_image(x, k // 2, "circular"), k)
-            xq_flat = xq.reshape(M, d)
-            qn_flat = jnp.sum(xq_flat**2, axis=-1)
             return images_flat, w_flat, xq_flat, qn_flat
 
         @jax.jit
