@@ -21,6 +21,38 @@ from .schedules import (
     linear_noise_schedule,
 )
 
+# Heavier subsystems load lazily: `cdt.scores`, `cdt.sampling`, ... work
+# without eager submodule imports (keeps `import convolutional_diffusion_tpu`
+# light — the scores/analysis stacks pull in the Pallas kernel machinery).
+_LAZY_SUBMODULES = (
+    "analysis",
+    "calibration",
+    "convert",
+    "data",
+    "ops",
+    "parallel",
+    "pipeline",
+    "sampling",
+    "scores",
+    "training",
+    "utils",
+)
+
+
+def __getattr__(name):
+    if name in _LAZY_SUBMODULES:
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY_SUBMODULES))
+
+
 __all__ = [
     "schedules",
     "DiffusionModel",
@@ -32,4 +64,5 @@ __all__ = [
     "exponential_schedule",
     "linear_noise_schedule",
     "get_schedule",
+    *_LAZY_SUBMODULES,
 ]

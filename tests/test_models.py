@@ -173,3 +173,19 @@ def test_breakstep_beyond_nsteps_runs_full_loop():
     beyond = sampling.sample(model, params, x=x0, nsteps=5, breakstep=9)
     np.testing.assert_allclose(np.asarray(beyond), np.asarray(full))
     assert not np.allclose(np.asarray(beyond), np.asarray(x0))
+
+
+def test_lazy_submodule_api():
+    """Top-level package exposes subsystems lazily: cdt.scores etc. resolve
+    on first attribute access without eager heavy imports."""
+    import convolutional_diffusion_tpu as cdt
+
+    assert cdt.scores.LocalEquivScoreModule is not None
+    assert cdt.sampling.sample is not None
+    assert "analysis" in dir(cdt)
+    try:
+        cdt.not_a_module
+    except AttributeError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected AttributeError")
