@@ -49,6 +49,16 @@ QCHUNK_MIN_DP = 640  # padded d at/above which chunking engages
 QCHUNK_BIG_DP = 1152  # padded d at/above which the chunk halves
 
 
+def _env_int(name: str) -> int | None:
+    """Optional integer override from the environment (A/B experiments on
+    the remote TPU without code edits: CDT_FLASH_QCHUNK overrides the
+    chunked-path query-chunk rows, CDT_FLASH_BQ_CHUNK its query block)."""
+    import os
+
+    val = os.environ.get(name)
+    return int(val) if val else None
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -281,6 +291,7 @@ def flash_score_update(
         block_q = 256
 
     qchunk = QCHUNK if _round_up(d, 128) < QCHUNK_BIG_DP else QCHUNK // 2
+    qchunk = _env_int("CDT_FLASH_QCHUNK") or qchunk
     if M > qchunk and _round_up(d, 128) >= QCHUNK_MIN_DP:
         # The chunked calls' outputs get VMEM-placed by XLA (it fuses the
         # concatenate), so the default 512-row query tiles push the scoped
@@ -288,6 +299,7 @@ def flash_score_update(
         # chunks/dp=768) — use 256-row tiles for every chunked call
         # (measured ~4% below 512 standalone, and it compiles everywhere).
         bq_chunk = block_q if block_q is not None else 256
+        bq_chunk = _env_int("CDT_FLASH_BQ_CHUNK") or bq_chunk
         outs = [
             flash_score_update(
                 q[i : i + qchunk], qn[i : i + qchunk], bank, pn, values, w,

@@ -301,3 +301,19 @@ def test_query_chunking_matches_whole_call(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-6, err_msg=name
         )
+    # env A/B knobs (flash_score._env_int): CDT_FLASH_QCHUNK overrides the
+    # chunk rows, CDT_FLASH_BQ_CHUNK the per-chunk query block — both must
+    # stay row-exact vs the policy defaults (used for remote-TPU OOM triage
+    # without code edits)
+    monkeypatch.setattr(fs, "QCHUNK", 16384)  # default would not engage
+    monkeypatch.setenv("CDT_FLASH_QCHUNK", "96")
+    monkeypatch.setenv("CDT_FLASH_BQ_CHUNK", "32")
+    kw_env = dict(block_q=None, block_p=128, interpret=True)
+    env_chunked = raw(*args, **kw_env)
+    whole_env = raw(*args, block_q=32, block_p=128, interpret=True)
+    for name, a, b, rtol in zip(
+        ("m", "s1", "s2"), whole_env, env_chunked, (1e-6, 1e-4, 5e-4)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-6, err_msg=name
+        )
