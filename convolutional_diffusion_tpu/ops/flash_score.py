@@ -64,15 +64,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    bias_ref, q_ref, k_ref, v_ref, scale_ref,
-    m_in, s1_in, s2_in,
-    m_ref, s1_ref, s2_ref,
-    *, precision, c, v_strategy, fast_exp,
+    bias_ref, q_ref, k_ref, *refs,
+    precision, c, v_strategy, fast_exp,
 ):
     # Everything stays 2D in natural orientation (m/s1: [BQ, 1] columns;
     # bias: [1, BP] rows) — 1-wide column extractions would force Mosaic
     # sublane<->lane relayouts that blow the VMEM stack.
     from jax.experimental import pallas as pl
+
+    if v_strategy == "inbank":
+        # no separate values operand: V IS a column slice of the bank, so
+        # s2 accumulates in the bank basis as one MXU dot e @ K (the
+        # wrapper slices the center columns on exit)
+        v_ref = None
+        scale_ref, m_in, s1_in, s2_in, m_ref, s1_ref, s2_ref = refs
+    else:
+        v_ref, scale_ref, m_in, s1_in, s2_in, m_ref, s1_ref, s2_ref = refs
 
     pj = pl.program_id(1)
 
@@ -149,6 +156,40 @@ def _kernel(
     s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
         e, axis=1, keepdims=True, dtype=jnp.float32
     )
+    if v_strategy == "inbank":
+        # The patch CENTER values are columns of the bank itself, so the
+        # s2 accumulation sum_p w_p e_p V_p is (e @ K)[:, center_cols] —
+        # one MXU dot against the K tile already in VMEM. This removes the
+        # separate values operand entirely (its HBM stream, its VMEM tile,
+        # and the per-chunk centers gather) AND the c per-channel VPU
+        # reduction passes of the 'vpu' strategy — the dominant VPU cost at
+        # small d, where the MXU is mostly idle. s2 carries dp lanes; only
+        # the center columns are meaningful (the rest never leave the
+        # wrapper). Precision mirrors the QK dot's tier: fp32 HIGHEST /
+        # manual bf16x3 / single bf16 pass in fast mode.
+        kb = k_ref[:, :]
+        if precision == jax.lax.Precision.HIGHEST:
+            acc = jnp.dot(
+                e, kb, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif fast:
+            acc = jnp.dot(
+                e, kb.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )
+        else:
+            eh = e.astype(jnp.bfloat16)
+            el = (e - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+            kbh = kb.astype(jnp.bfloat16)
+            kbl = (kb - kbh.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = (
+                jnp.dot(eh, kbh, preferred_element_type=jnp.float32)
+                + jnp.dot(eh, kbl, preferred_element_type=jnp.float32)
+                + jnp.dot(el, kbh, preferred_element_type=jnp.float32)
+            )
+        s2_ref[:, :] = s2_ref[:, :] * scale + acc
+        m_ref[:, :] = m_new
+        return
     if v_strategy == "vpu":
         # c is tiny (1-3 image channels): an MXU e @ V with V padded to 128
         # lanes would waste 128/c of the array. Instead V arrives TRANSPOSED
@@ -188,7 +229,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "block_q", "block_p", "interpret", "precision", "v_strategy",
-        "fast_exp", "rows_per_seed",
+        "fast_exp", "rows_per_seed", "inbank_cols",
     ),
 )
 def flash_score_update(
@@ -209,6 +250,7 @@ def flash_score_update(
     v_strategy: str = "auto",
     fast_exp: bool | None = None,
     rows_per_seed: int | None = None,
+    inbank_cols: Tuple[int, int] | None = None,  # (start, c) for 'inbank'
 ):
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
@@ -227,6 +269,15 @@ def flash_score_update(
     'mxu1' (fast mode only) fuses s1 INTO the MXU dot via a ones column —
     e @ [V|1] in bf16 — removing all per-channel VPU accumulation passes
     (the MXU is nearly idle at small d, so this rides free capacity);
+    'inbank' (requires inbank_cols=(start, c)) exploits that the values
+    ARE a contiguous column slice of the bank (patch centers): s2
+    accumulates as e @ K against the K tile already in VMEM — the mxu1
+    VPU win with NO extra operand at all (no values HBM stream, no
+    lane-padded build), at the cost of a dp-wide (instead of 128-wide)
+    s2 accumulator and an extra [BQ,BP]x[BP,dp] MXU pass per tier pass —
+    profitable where dp is small and the kernel is VPU-bound (dp<=256
+    measured; values must equal bank[:, start:start+c], which the wrapper
+    slices out on exit so the external state stays [M, c]);
     'auto' picks 'mxu1' for fast-mode sweeps of P >= 2^18 patches (below
     that the per-call [V|1] lane-padding build outweighs the kernel win —
     measured -6% end-to-end in the machines' ~16k-patch chunked scans)
@@ -244,7 +295,15 @@ def flash_score_update(
     m0, s10, s20 = state
     M, d = q.shape
     P = bank.shape[0]
-    c = values.shape[1]
+    if v_strategy == "inbank":
+        if inbank_cols is None:
+            raise ValueError("v_strategy='inbank' requires inbank_cols=(start, c)")
+        col0, c = inbank_cols
+        if not (0 <= col0 and col0 + c <= d):
+            raise ValueError(f"inbank_cols {inbank_cols} out of range for d={d}")
+        values = None  # V == bank[:, col0:col0+c]; no separate operand
+    else:
+        c = values.shape[1]
 
     if w.ndim == 2:
         # Per-seed weights [S, P] (one label per seed — batched conditional
@@ -266,7 +325,7 @@ def flash_score_update(
                 q_s, qn_s, bank, pn, values, w_s, at, bt, st_s,
                 block_q=block_q, block_p=block_p, interpret=interpret,
                 precision=precision, v_strategy=v_strategy,
-                fast_exp=fast_exp,
+                fast_exp=fast_exp, inbank_cols=inbank_cols,
             ),
             in_axes=(0, 0, 0, 0),
         )(
@@ -307,6 +366,7 @@ def flash_score_update(
                 (m0[i : i + qchunk], s10[i : i + qchunk], s20[i : i + qchunk]),
                 block_q=bq_chunk, block_p=block_p, interpret=interpret,
                 precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
+                inbank_cols=inbank_cols,
             )
             for i in range(0, M, qchunk)
         ]
@@ -402,7 +462,10 @@ def flash_score_update(
     # fp32 rounding only perturbs the m offset, never s2/s1)
     qn_s = (qn * inv2bt2).astype(jnp.float32)
     m0 = jnp.where(m0 <= NEG_INF * 0.5, m0, (m0 + qn_s) * LOG2E)
-    if v_strategy == "vpu":
+    if v_strategy == "inbank":
+        vp = None  # V == bank columns; the K tile doubles as the V operand
+        v_block = v_index = None
+    elif v_strategy == "vpu":
         c8 = _round_up(c, 8)  # sublane-aligned transposed values [c8, Pp]
         vp = jnp.zeros((c8, Pp), jnp.float32).at[:c, :P].set(values.T)
         v_block = (c8, block_p)
@@ -424,9 +487,20 @@ def flash_score_update(
     bias_index = lambda qi, pj: (0, pj)
     mp = jnp.full((Mp, 1), NEG_INF, jnp.float32).at[:M, 0].set(m0)
     s1p = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(s10)
-    s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
-    if v_strategy == "mxu1":
-        s2p = s2p.at[:M, c].set(s10)  # s1 rides the s2 tile's lane c
+    if v_strategy == "inbank":
+        # s2 lives in the BANK basis inside the kernel: the carried center
+        # state scatters into the center columns on entry and slices back
+        # out on exit; the other dp-c columns accumulate values nobody
+        # reads (their rescale is columnwise, so they never contaminate) —
+        # the external [M, c] state convention is unchanged, including
+        # across chunk scans and dispatch segments.
+        s2w = dp
+        s2p = jnp.zeros((Mp, dp), jnp.float32).at[:M, col0 : col0 + c].set(s20)
+    else:
+        s2w = cp
+        s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
+        if v_strategy == "mxu1":
+            s2p = s2p.at[:M, c].set(s10)  # s1 rides the s2 tile's lane c
 
     # NOTE: lane [0,1] (inv2bt2) is vestigial — the per-query softmax
     # offset moved to the wrapper's m shift and the kernel reads only
@@ -441,36 +515,45 @@ def flash_score_update(
         "high": jax.lax.Precision.HIGH,  # 3-pass bf16 (~6e-6 rel dot error)
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
+    in_specs = [
+        pl.BlockSpec((1, block_p), bias_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [biasp, qp, bankp]
+    if vp is not None:
+        in_specs.append(pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM))
+        operands.append(vp)
+    in_specs += [
+        pl.BlockSpec((1, 2), lambda qi, pj: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_q, s2w), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [scale, mp, s1p, s2p]
     out_m, out_s1, out_s2 = pl.pallas_call(
         functools.partial(
             _kernel, precision=prec, c=c, v_strategy=v_strategy, fast_exp=fast_exp
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_p), bias_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, dp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda qi, pj: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, cp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, 1), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, cp), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, s2w), lambda qi, pj: (qi, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Mp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, s2w), jnp.float32),
         ],
         interpret=interpret,
-    )(biasp, qp, bankp, vp, scale, mp, s1p, s2p)
+    )(*operands)
 
     m_out = out_m[:M, 0]
     m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out * LN2 - qn_s)
+    if v_strategy == "inbank":
+        return m_out, out_s1[:M, 0], out_s2[:M, col0 : col0 + c]
     if v_strategy == "mxu1":
         return m_out, out_s2[:M, c], out_s2[:M, :c]
     return m_out, out_s1[:M, 0], out_s2[:M, :c]

@@ -467,6 +467,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
                     bank, bank_ctr, bank_pn, w_b, at, bt,
                     B=g.block, d=d, c=c, use_pallas=use_pallas,
                     precision=precision,
+                    inbank_col=center_index(k, c).start,
                 )
                 mc = (cs2 / cs1[:, None]).reshape(b, hc, wc, c)
             else:
@@ -529,6 +530,7 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
                     qc, qcn, bank_s, ctr_s, pn_s, w_s, at, bt,
                     B=g.block, d=d, c=c, use_pallas=use_pallas,
                     precision=precision, state0=state, return_m=True,
+                    inbank_col=center_index(k, c).start,
                 )
 
             qsz_c = -(-g.nblk // n_seg_c)

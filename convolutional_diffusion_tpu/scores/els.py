@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.dispatch import plan_segments
-from ..ops.patches import extract_patches, pad_image, patch_centers
+from ..ops.patches import center_index, extract_patches, pad_image, patch_centers
 from .bank import BankCacheMixin, bank_geometry
 from .base import ScoreModuleBase
 from .common import (
@@ -37,6 +37,23 @@ from .common import (
     init_state,
     update_state,
 )
+
+
+def _inbank_max_dp() -> int:
+    """Padded-d ceiling for the kernel's 'inbank' strategy (patch-center
+    values sliced from the bank basis instead of a separate V operand —
+    see ops.flash_score). Trades the c per-channel VPU accumulation passes
+    for one extra MXU pass per tier pass, so it pays where the kernel is
+    VPU-bound (small d) and costs where it is MXU-bound (large d). Env
+    CDT_ELS_INBANK_MAX_DP, read at trace time; 0 disables. Default off
+    until the TPU A/B lands (the strategy is bit-compatible either way —
+    interpret-mode equivalence is pinned by tests/test_flash_score.py)."""
+    import os
+
+    try:
+        return int(os.environ.get("CDT_ELS_INBANK_MAX_DP", "0") or 0)
+    except ValueError:
+        return 0
 
 
 def els_sweep(
@@ -75,11 +92,20 @@ def els_sweep(
     if use_pallas:
         from ..ops.flash_score import flash_score_update, state_from_pallas, state_to_pallas
 
+        inbank = -(-d // 128) * 128 <= _inbank_max_dp()
+        ib_kw = (
+            dict(v_strategy="inbank", inbank_cols=(center_index(k, c).start, c))
+            if inbank
+            else {}
+        )
+
         def step(state, chunk):
             imgs_c, w_c = chunk
             imgs_c = imgs_c.reshape(cs, *hwc)
             patches = extract_patches(imgs_c, k).reshape(cs * per_img, d)
-            centers = patch_centers(patches, k, c)
+            # inbank: the kernel slices centers from the bank basis — the
+            # per-chunk centers gather disappears along with the V operand
+            centers = None if inbank else patch_centers(patches, k, c)
             pn = jnp.sum(patches**2, axis=-1)
             w_p = jnp.repeat(w_c, per_img)
             return (
@@ -91,6 +117,7 @@ def els_sweep(
                     # 1/(2 beta) logit scaling amplifies their rounding)
                     precision=precision,
                     fast_exp=(precision == "default"),
+                    **ib_kw,
                 ),
                 None,
             )
@@ -150,6 +177,9 @@ def banked_sweep(
     rows_per_seed: int | None = None,  # required when w_b is per-seed
     state0=None,  # (m, s1, s2) -inf convention; None = empty
     return_m: bool = False,  # also return m (for segment chaining)
+    inbank_col: int | None = None,  # centers == bank[:, col:col+c] (ELS/bbELS
+    # center banks) — enables the kernel's 'inbank' strategy under the
+    # CDT_ELS_INBANK_MAX_DP gate, dropping the centers stream entirely
 ):
     """Scan prebuilt bank chunks through the online softmax; returns
     (s1 [M], s2 [M, c]) — or (m, s1, s2) with return_m, so dispatch
@@ -169,15 +199,25 @@ def banked_sweep(
             state_to_pallas,
         )
 
+        inbank = (
+            inbank_col is not None and -(-d // 128) * 128 <= _inbank_max_dp()
+        )
+        ib_kw = (
+            dict(v_strategy="inbank", inbank_cols=(inbank_col, c))
+            if inbank
+            else {}
+        )
+
         def step(state, blk):
             kb, vb, pnb, wb = blk
             return (
                 flash_score_update(
                     q_flat, qn_flat, kb.reshape(B, d), pnb,
-                    vb.reshape(B, c), wb, at, bt, state,
+                    None if inbank else vb.reshape(B, c), wb, at, bt, state,
                     precision=precision,
                     fast_exp=(precision == "default"),
                     rows_per_seed=rows_per_seed if vector else None,
+                    **ib_kw,
                 ),
                 None,
             )
@@ -188,9 +228,14 @@ def banked_sweep(
                 jnp.zeros((M,), jnp.float32),
                 jnp.zeros((M, c), jnp.float32),
             )
-        state, _ = jax.lax.scan(
-            step, state_to_pallas(*state0), (bank, centers, pn, w_b)
+        # inbank: the centers chunks stay OUT of the scan operands — their
+        # HBM stream (B*c fp32 per block) disappears with the V operand
+        xs = (
+            (bank, jnp.zeros((bank.shape[0], 1), bank.dtype), pn, w_b)
+            if inbank
+            else (bank, centers, pn, w_b)
         )
+        state, _ = jax.lax.scan(step, state_to_pallas(*state0), xs)
         m, s1, s2 = state_from_pallas(*state)
         return (m, s1, s2) if return_m else (s1, s2)
 
@@ -340,6 +385,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 B=B, d=d, c=c, use_pallas=use_pallas,
                 precision=self.precision,
                 rows_per_seed=hw if vector_label else None,
+                inbank_col=center_index(k, c).start,
             )
 
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
@@ -370,6 +416,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 B=B, d=d, c=c, use_pallas=use_pallas, precision=precision,
                 rows_per_seed=hw if vector_label else None,
                 state0=state, return_m=True,
+                inbank_col=center_index(k, c).start,
             )
 
         @jax.jit

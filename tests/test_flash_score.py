@@ -317,3 +317,181 @@ def test_query_chunking_matches_whole_call(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-6, err_msg=name
         )
+
+
+# --------------------------- 'inbank' strategy ---------------------------
+# V is a contiguous column slice of the bank (the patch centers), so the
+# kernel can accumulate s2 as e @ K on the MXU with NO separate values
+# operand; the wrapper scatters/slices the center columns at the state
+# boundary so the external [M, c] convention is unchanged.
+
+
+def _inbank_fixture(M=96, d=27, P=300, c=3, col0=12, seed=7):
+    rs = np.random.RandomState(seed)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    w = jnp.asarray(rs.uniform(0.5, 1.5, size=(P,)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    st = state_to_pallas(
+        jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c))
+    )
+    return q, qn, bank, pn, bank[:, col0 : col0 + c], w, st, (col0, c)
+
+
+@pytest.mark.parametrize("precision", ["highest", "high", "default"])
+def test_inbank_matches_vpu(precision):
+    q, qn, bank, pn, values, w, st, cols = _inbank_fixture()
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    kw = dict(block_q=32, block_p=128, interpret=True, precision=precision)
+    ref = flash_score_update(
+        q, qn, bank, pn, values, w, at, bt, st, v_strategy="vpu", **kw
+    )
+    ib = flash_score_update(
+        q, qn, bank, pn, None, w, at, bt, st,
+        v_strategy="inbank", inbank_cols=cols, **kw
+    )
+    # m and s1 take the identical code path — exact; s2 differs only in
+    # accumulation route (MXU dot vs per-channel VPU reductions): fp32
+    # HIGHEST reassociation ~1e-6, bf16x3 ~2^-15
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(ib[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(ib[1]))
+    rtol = 1e-5 if precision == "highest" else 2e-4
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(ib[2]), rtol=rtol, atol=1e-6
+    )
+
+
+def test_inbank_chunk_chaining():
+    """Two chained inbank calls (the machines' per-chunk scan) must equal
+    one whole-bank call: the wrapper's center-column scatter/slice is an
+    exact state round-trip (garbage in the non-center lanes never leaks)."""
+    q, qn, bank, pn, _, w, st, cols = _inbank_fixture(P=256)
+    at, bt = jnp.float32(0.7), jnp.float32(0.5)
+    kw = dict(
+        block_q=32, block_p=128, interpret=True, precision="highest",
+        v_strategy="inbank", inbank_cols=cols,
+    )
+    whole = flash_score_update(q, qn, bank, pn, None, w, at, bt, st, **kw)
+    half = flash_score_update(
+        q, qn, bank[:128], pn[:128], None, w[:128], at, bt, st, **kw
+    )
+    chained = flash_score_update(
+        q, qn, bank[128:], pn[128:], None, w[128:], at, bt, half, **kw
+    )
+    for name, a, b in zip(("m", "s1", "s2"), whole, chained):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6, err_msg=name
+        )
+
+
+def test_inbank_vector_label():
+    """Per-seed weights ([S, P] + rows_per_seed) vmap the wrapper; the
+    inbank scatter/slice must compose with that batching."""
+    S, rps = 3, 32
+    q, qn, bank, pn, values, _, _, cols = _inbank_fixture(M=S * rps)
+    rs = np.random.RandomState(11)
+    w2 = jnp.asarray(rs.uniform(0.2, 1.2, size=(S, 300)).astype(np.float32))
+    M, c = S * rps, cols[1]
+    st = state_to_pallas(
+        jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c))
+    )
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    kw = dict(
+        block_q=32, block_p=128, interpret=True, precision="highest",
+        rows_per_seed=rps,
+    )
+    ref = flash_score_update(
+        q, qn, bank, pn, values, w2, at, bt, st, v_strategy="vpu", **kw
+    )
+    ib = flash_score_update(
+        q, qn, bank, pn, None, w2, at, bt, st,
+        v_strategy="inbank", inbank_cols=cols, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(ib[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(ib[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(ib[2]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_inbank_sweep_wiring(monkeypatch):
+    """banked_sweep + els_sweep route through the inbank strategy under the
+    CDT_ELS_INBANK_MAX_DP gate: force interpret mode and compare against
+    the jnp fallback paths (pins the center-column computation, the scan
+    xs change, and the env gating)."""
+    import convolutional_diffusion_tpu.ops.flash_score as fs
+    import convolutional_diffusion_tpu.scores.els as els_mod
+    from convolutional_diffusion_tpu.ops.patches import center_index
+
+    orig = fs.flash_score_update
+
+    def forced_interpret(*a, **kw):
+        kw["interpret"] = True
+        kw.setdefault("block_q", 32)
+        kw.setdefault("block_p", 128)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fs, "flash_score_update", forced_interpret)
+    monkeypatch.setenv("CDT_ELS_INBANK_MAX_DP", "128")
+
+    rs = np.random.RandomState(3)
+    k, c = 3, 3
+    d = k * k * c
+    B, nblk = 128, 2
+    bank_rows = jnp.asarray(rs.normal(size=(nblk * B, d)).astype(np.float32))
+    centers = bank_rows[:, center_index(k, c)]
+    pn = jnp.sum(bank_rows**2, axis=1).reshape(nblk, B)
+    w_b = jnp.asarray(
+        rs.uniform(0.5, 1.5, size=(nblk, B)).astype(np.float32)
+    )
+    M = 64
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+
+    args = (q, qn, bank_rows.reshape(nblk, B * d),
+            centers.reshape(nblk, B * c), pn, w_b, at, bt)
+    kw = dict(B=B, d=d, c=c, precision="highest", return_m=True,
+              inbank_col=center_index(k, c).start)
+    m_ib, s1_ib, s2_ib = els_mod.banked_sweep(*args, use_pallas=True, **kw)
+    m_ref, s1_ref, s2_ref = els_mod.banked_sweep(*args, use_pallas=False, **kw)
+    # the kernel folds log w into its running max — compare the
+    # subtraction-invariant quantities (log total weight, posterior mean)
+    np.testing.assert_allclose(
+        np.asarray(m_ib + jnp.log(s1_ib)),
+        np.asarray(m_ref + jnp.log(s1_ref)), rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2_ib / s1_ib[:, None]),
+        np.asarray(s2_ref / s1_ref[:, None]), rtol=1e-4, atol=1e-5,
+    )
+
+    # els_sweep (streaming): tiny image chunks, same gate
+    n, h, wdt = 8, 6, 6
+    imgs = rs.normal(size=(n, h, wdt, c)).astype(np.float32)
+    per_img = (h - k + 1) * (wdt - k + 1)
+    cs = 4
+    images_p = jnp.asarray(imgs.reshape(2, cs, h * wdt * c))
+    w_img_p = jnp.asarray(
+        rs.uniform(0.5, 1.5, size=(2, cs)).astype(np.float32)
+    )
+    Mq = 32
+    xq = jnp.asarray(rs.normal(size=(Mq, d)).astype(np.float32))
+    qn2 = jnp.sum(xq**2, axis=1)
+    common = dict(k=k, cs=cs, hwc=(h, wdt, c), per_img=per_img, c=c,
+                  precision="highest")
+    m_i, s1_i, s2_i = els_mod.els_sweep(
+        images_p, w_img_p, xq, qn2, at, bt, use_pallas=True, **common
+    )
+    m_r, s1_r, s2_r = els_mod.els_sweep(
+        images_p, w_img_p, xq, qn2, at, bt, use_pallas=False, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_i + jnp.log(s1_i)), np.asarray(m_r + jnp.log(s1_r)),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2_i / s1_i[:, None]), np.asarray(s2_r / s1_r[:, None]),
+        rtol=1e-4, atol=1e-5,
+    )
