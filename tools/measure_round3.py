@@ -113,6 +113,56 @@ def stage_per_k(precisions=("high", "highest"), batch=8, n=50000):
         del mod
 
 
+def stage_inbank(precisions=("high", "highest"), batch=8, n=50000):
+    """A/B the kernel 'inbank' strategy (s2 = e @ K on the MXU, no values
+    operand — ops/flash_score.py) against the vpu default, per k at the
+    50k machine workload. The strategy pays where the kernel is VPU-bound
+    (small dp) and costs extra MXU passes at large dp, so sweep k=3..9
+    (dp 128/128/256/256). Env gate is read at trace time; each setting
+    gets a fresh module instance (fresh jit cache)."""
+    res = OUT.setdefault("inbank", {})
+    for precision in precisions:
+        for k in (3, 5, 7, 9):
+            dp = -(-(k * k * 3) // 128) * 128
+            for tag, maxdp in (("off", 0), ("on", dp)):
+                key = f"{precision}/k{k}/{tag}"
+                if key in res:
+                    continue
+                os.environ["CDT_ELS_INBANK_MAX_DP"] = str(maxdp)
+                mod = make_module(n, precision=precision)
+                dt = step_time(mod, k, batch)
+                P = n * (33 - k) ** 2
+                res[key] = {
+                    "sec": round(dt, 3),
+                    "gpairs_per_s": round(P * batch * 1024 / dt / 1e9, 1),
+                }
+                flush()
+                del mod
+    os.environ["CDT_ELS_INBANK_MAX_DP"] = "0"
+    # predicted machine gain if inbank is enabled wherever it wins
+    base = OUT.get("per_k", {})
+    for precision in precisions:
+        tot_off = tot_on = 0.0
+        ok = True
+        for k, cnt in STEP_COUNTS.items():
+            off = res.get(f"{precision}/k{k}/off") or base.get(f"{precision}/k{k}")
+            if off is None:
+                ok = False
+                break
+            on = res.get(f"{precision}/k{k}/on")
+            best = min(off["sec"], on["sec"]) if on else off["sec"]
+            tot_off += cnt * off["sec"]
+            tot_on += cnt * best
+        if ok and tot_on > 0:
+            res[f"{precision}/predicted_machine_ips_best"] = round(
+                batch / tot_on, 4
+            )
+            res[f"{precision}/machine_gain_pct"] = round(
+                100.0 * (tot_off / tot_on - 1.0), 1
+            )
+            flush()
+
+
 def stage_extract_ab():
     """Prebuilt-bank vs streaming at bank-fits scales (the k>=5 question)."""
     res = OUT.setdefault("extract_ab", {})
@@ -277,6 +327,7 @@ def stage_celeba64_b32():
 STAGES = {
     "per_k": stage_per_k,
     "extract_ab": stage_extract_ab,
+    "inbank": stage_inbank,
     "blocks": stage_blocks,
     "capacity": stage_capacity,
     "capacity_e2e": stage_capacity_e2e,
