@@ -65,7 +65,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     bias_ref, q_ref, k_ref, *refs,
-    precision, c, v_strategy, fast_exp,
+    precision, c, v_strategy, fast_exp, s1_fused=False,
 ):
     # Everything stays 2D in natural orientation (m/s1: [BQ, 1] columns;
     # bias: [1, BP] rows) — 1-wide column extractions would force Mosaic
@@ -153,9 +153,10 @@ def _kernel(
         m_ref[:, :] = m_new
         return
 
-    s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
-        e, axis=1, keepdims=True, dtype=jnp.float32
-    )
+    if not s1_fused:
+        s1_ref[:, :] = s1_ref[:, :] * scale + jnp.sum(
+            e, axis=1, keepdims=True, dtype=jnp.float32
+        )
     if v_strategy == "inbank":
         # The patch CENTER values are columns of the bank itself, so the
         # s2 accumulation sum_p w_p e_p V_p is (e @ K)[:, center_cols] —
@@ -449,6 +450,14 @@ def flash_score_update(
     inv2bt2 = (1.0 / (2.0 * bt * bt)).astype(jnp.float32)
     qp = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(q)
     bankp = jnp.zeros((Pp, dp), jnp.float32).at[:P, :d].set(bank)
+    # inbank + spare padded column: a ones column at lane d makes the e @ K
+    # accumulation produce s1 in that lane for free (the query's padded
+    # column is zero, so the QK dot is untouched) — the kernel then skips
+    # its VPU row-sum entirely, mirroring the mxu1 s1-lane trick with no
+    # extra operand at all
+    s1_fused = v_strategy == "inbank" and d < dp
+    if s1_fused:
+        bankp = bankp.at[:P, d].set(1.0)
     # kernel-internal logits live in BASE-2 log space (see _kernel): weights
     # enter as log2 w and the distance scale carries a log2(e) factor
     logw = jnp.where(w > 0.0, jnp.log2(jnp.maximum(w, 1e-38)), NEG_INF)
@@ -496,6 +505,8 @@ def flash_score_update(
         # across chunk scans and dispatch segments.
         s2w = dp
         s2p = jnp.zeros((Mp, dp), jnp.float32).at[:M, col0 : col0 + c].set(s20)
+        if s1_fused:
+            s2p = s2p.at[:M, d].set(s10)  # s1 rides the s2 tile's lane d
     else:
         s2w = cp
         s2p = jnp.zeros((Mp, cp), jnp.float32).at[:M, :c].set(s20)
@@ -533,7 +544,8 @@ def flash_score_update(
     operands += [scale, mp, s1p, s2p]
     out_m, out_s1, out_s2 = pl.pallas_call(
         functools.partial(
-            _kernel, precision=prec, c=c, v_strategy=v_strategy, fast_exp=fast_exp
+            _kernel, precision=prec, c=c, v_strategy=v_strategy,
+            fast_exp=fast_exp, s1_fused=s1_fused,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -553,7 +565,8 @@ def flash_score_update(
     m_out = out_m[:M, 0]
     m_out = jnp.where(m_out <= NEG_INF * 0.5, m_out, m_out * LN2 - qn_s)
     if v_strategy == "inbank":
-        return m_out, out_s1[:M, 0], out_s2[:M, col0 : col0 + c]
+        s1_out = out_s2[:M, d] if s1_fused else out_s1[:M, 0]
+        return m_out, s1_out, out_s2[:M, col0 : col0 + c]
     if v_strategy == "mxu1":
         return m_out, out_s2[:M, c], out_s2[:M, :c]
     return m_out, out_s1[:M, 0], out_s2[:M, :c]

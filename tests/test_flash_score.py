@@ -351,12 +351,17 @@ def test_inbank_matches_vpu(precision):
         q, qn, bank, pn, None, w, at, bt, st,
         v_strategy="inbank", inbank_cols=cols, **kw
     )
-    # m and s1 take the identical code path — exact; s2 differs only in
-    # accumulation route (MXU dot vs per-channel VPU reductions): fp32
-    # HIGHEST reassociation ~1e-6, bf16x3 ~2^-15
+    # m takes the identical code path — exact; s1/s2 differ only in
+    # accumulation route (MXU dot vs VPU reductions; s1 rides the bank's
+    # spare padded lane as a ones column): fp32 HIGHEST reassociation
+    # ~1e-6, bf16x3 ~2^-15
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(ib[0]))
-    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(ib[1]))
-    rtol = 1e-5 if precision == "highest" else 2e-4
+    # 'default' keeps bf16 operands through the fused dot — its tier
+    # tolerates ~3e-3 on posterior stats by design
+    rtol = {"highest": 1e-5, "high": 2e-4, "default": 4e-3}[precision]
+    np.testing.assert_allclose(
+        np.asarray(ref[1]), np.asarray(ib[1]), rtol=rtol, atol=1e-6
+    )
     np.testing.assert_allclose(
         np.asarray(ref[2]), np.asarray(ib[2]), rtol=rtol, atol=1e-6
     )
@@ -409,7 +414,9 @@ def test_inbank_vector_label():
         v_strategy="inbank", inbank_cols=cols, **kw
     )
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(ib[0]))
-    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(ib[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[1]), np.asarray(ib[1]), rtol=1e-5, atol=1e-6
+    )
     np.testing.assert_allclose(
         np.asarray(ref[2]), np.asarray(ib[2]), rtol=1e-5, atol=1e-6
     )
