@@ -502,3 +502,23 @@ def test_inbank_sweep_wiring(monkeypatch):
         np.asarray(s2_i / s1_i[:, None]), np.asarray(s2_r / s1_r[:, None]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_inbank_exact_lane_multiple_d():
+    """d == dp leaves no spare padded lane: the s1 ones-column fusion must
+    fall back to the VPU row-sum (s1_fused=False) and stay correct."""
+    q, qn, bank, pn, values, w, st, _ = _inbank_fixture(d=128, col0=60)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    kw = dict(block_q=32, block_p=128, interpret=True, precision="highest")
+    ref = flash_score_update(
+        q, qn, bank, pn, values, w, at, bt, st, v_strategy="vpu", **kw
+    )
+    ib = flash_score_update(
+        q, qn, bank, pn, None, w, at, bt, st,
+        v_strategy="inbank", inbank_cols=(60, 3), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(ib[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(ib[1]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2]), np.asarray(ib[2]), rtol=1e-5, atol=1e-6
+    )
