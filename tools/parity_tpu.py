@@ -135,6 +135,27 @@ def golden_cases(rows):
             (f"Machine/bbELS (pallas, {precision})", "5-step trajectory", mx, rel, tol)
         )
 
+    # module-level 'inbank' routing (CDT_ELS_INBANK_MAX_DP gate, read at
+    # trace time): same ELS goldens through the bank-basis accumulation
+    prev = os.environ.get("CDT_ELS_INBANK_MAX_DP")
+    os.environ["CDT_ELS_INBANK_MAX_DP"] = "256"
+    try:
+        for precision, tol in (("highest", 1e-3), ("high", 1e-3)):
+            mod = LocalEquivScoreModule(
+                (imgs, labs), kernel_size=3, batch_size=5,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision=precision,
+            )
+            mx, rel = dev(mod(t, x), nhwc(z["els/k3b5/out"]))
+            rows.append(
+                (f"ELS (pallas+inbank, {precision})", "k=3 b=5", mx, rel, tol)
+            )
+    finally:
+        if prev is None:
+            os.environ.pop("CDT_ELS_INBANK_MAX_DP", None)
+        else:
+            os.environ["CDT_ELS_INBANK_MAX_DP"] = prev
+
     # cutoff + shuffle semantics through the compiled kernel
     zc = np.load(os.path.join(GOLDEN_DIR, "cutoffs.npz"))
     imgs_c = nhwc(zc["imgs"])
@@ -220,6 +241,12 @@ def grid_cases(rows, d=75, configs=None, P_pair=None):
         ("highest", "mxu", False, 1e-3, "fp32/mxu"),
         ("high", "vpu", False, 1e-3, "bf16x3/vpu"),
         ("default", "mxu1", True, 2e-2, "fast/mxu1"),
+        # 'inbank': s2 = e @ K on the MXU, values sliced from the bank
+        # basis (ops/flash_score.py) — the values operand here already IS
+        # bank[:, 12c:12c+c], so the strategies must agree
+        ("highest", "inbank", False, 1e-3, "fp32/inbank"),
+        ("high", "inbank", False, 1e-3, "bf16x3/inbank"),
+        ("default", "inbank", True, 2e-2, "fast/inbank"),
     )
     for precision, v_strategy, fast_exp, tol, tag in (configs or all_configs):
         state = state_to_pallas(
@@ -227,12 +254,15 @@ def grid_cases(rows, d=75, configs=None, P_pair=None):
             jnp.zeros((M,), jnp.float32),
             jnp.zeros((M, c), jnp.float32),
         )
+        inbank = v_strategy == "inbank"
         for bank, w in zip(banks, ws):
             bj = jnp.asarray(bank)
             state = flash_score_update(
                 qj, qnj, bj, jnp.sum(bj**2, axis=1),
-                bj[:, 12 * c : 12 * c + c], jnp.asarray(w), at, bt, state,
+                None if inbank else bj[:, 12 * c : 12 * c + c],
+                jnp.asarray(w), at, bt, state,
                 precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
+                inbank_cols=(12 * c, c) if inbank else None,
             )
         _, s1, s2 = state_from_pallas(*state)
         mean = np.asarray(s2) / np.asarray(s1)[:, None]
