@@ -113,13 +113,16 @@ def stage_per_k(precisions=("high", "highest"), batch=8, n=50000):
         del mod
 
 
-def stage_inbank(precisions=("high", "highest"), batch=8, n=50000):
+def stage_inbank(precisions=("default", "high", "highest"), batch=8, n=50000):
     """A/B the kernel 'inbank' strategy (s2 = e @ K on the MXU, no values
     operand — ops/flash_score.py) against the vpu default, per k at the
-    50k machine workload. The strategy pays where the kernel is VPU-bound
-    (small dp) and costs extra MXU passes at large dp, so sweep k=3..9
-    (dp 128/128/256/256). Env gate is read at trace time; each setting
-    gets a fresh module instance (fresh jit cache)."""
+    50k machine workload. Roofline expectation: the big win is FAST mode
+    (bf16 e -> ONE extra MXU pass; VPU passes drop ~2x; MXU ceiling ~192
+    Gpairs/s at dp=128 vs ~111 measured), while 'high' sits at a joint
+    VPU/MXU roofline (the 3-pass bf16x3 e@K lands exactly at the current
+    rate's MXU bound) and 'highest' should LOSE (6 fp32 passes). Sweep
+    k=3..9 (dp 128/128/256/256). Env gate is read at trace time; each
+    setting gets a fresh module instance (fresh jit cache)."""
     res = OUT.setdefault("inbank", {})
     for precision in precisions:
         for k in (3, 5, 7, 9):
@@ -146,6 +149,9 @@ def stage_inbank(precisions=("high", "highest"), batch=8, n=50000):
         ok = True
         for k, cnt in STEP_COUNTS.items():
             off = res.get(f"{precision}/k{k}/off") or base.get(f"{precision}/k{k}")
+            if off is None and precision == "default":
+                # fast tracks 'high' within a few % at the unswept large k
+                off = base.get(f"high/k{k}")
             if off is None:
                 ok = False
                 break
