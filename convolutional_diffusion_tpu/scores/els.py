@@ -39,21 +39,34 @@ from .common import (
 )
 
 
-def _inbank_max_dp() -> int:
+# Per-tier padded-d ceilings for the kernel's 'inbank' strategy, from the
+# small-k roofline arithmetic (PERFORMANCE.md): fast mode pays ONE extra
+# bf16 MXU pass and sheds ~6 VPU passes (the winner); 'high' lands exactly
+# on its joint VPU/MXU roofline (expect ~0); fp32-HIGHEST pays 6 fp32-rate
+# passes (a loss). Defaults stay 0 (off) until the TPU A/B
+# (tools/measure_round3.py inbank) confirms; flip per tier here.
+_INBANK_DEFAULT_MAX_DP = {"default": 0, "high": 0, "highest": 0}
+
+
+def _inbank_max_dp(precision: str = "highest") -> int:
     """Padded-d ceiling for the kernel's 'inbank' strategy (patch-center
     values sliced from the bank basis instead of a separate V operand —
     see ops.flash_score). Trades the c per-channel VPU accumulation passes
-    for one extra MXU pass per tier pass, so it pays where the kernel is
-    VPU-bound (small d) and costs where it is MXU-bound (large d). Env
-    CDT_ELS_INBANK_MAX_DP, read at trace time; 0 disables. Default off
-    until the TPU A/B lands (the strategy is bit-compatible either way —
-    interpret-mode equivalence is pinned by tests/test_flash_score.py)."""
+    for extra MXU passes, so it pays where the kernel is VPU-bound with
+    MXU headroom (fast mode at small d) and costs where it is MXU-bound.
+    Env CDT_ELS_INBANK_MAX_DP (read at trace time) overrides ALL tiers —
+    the A/B lever; 0 disables. The strategy is numerically pinned either
+    way (interpret-mode equivalence in tests/test_flash_score.py, hardware
+    cases in tools/parity_tpu.py)."""
     import os
 
-    try:
-        return int(os.environ.get("CDT_ELS_INBANK_MAX_DP", "0") or 0)
-    except ValueError:
-        return 0
+    raw = os.environ.get("CDT_ELS_INBANK_MAX_DP")
+    if raw:
+        try:
+            return int(raw)
+        except ValueError:
+            return 0
+    return _INBANK_DEFAULT_MAX_DP.get(precision, 0)
 
 
 def els_sweep(
@@ -92,7 +105,7 @@ def els_sweep(
     if use_pallas:
         from ..ops.flash_score import flash_score_update, state_from_pallas, state_to_pallas
 
-        inbank = -(-d // 128) * 128 <= _inbank_max_dp()
+        inbank = -(-d // 128) * 128 <= _inbank_max_dp(precision)
         ib_kw = (
             dict(v_strategy="inbank", inbank_cols=(center_index(k, c).start, c))
             if inbank
@@ -200,7 +213,8 @@ def banked_sweep(
         )
 
         inbank = (
-            inbank_col is not None and -(-d // 128) * 128 <= _inbank_max_dp()
+            inbank_col is not None
+            and -(-d // 128) * 128 <= _inbank_max_dp(precision)
         )
         ib_kw = (
             dict(v_strategy="inbank", inbank_cols=(inbank_col, c))
