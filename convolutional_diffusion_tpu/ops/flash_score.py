@@ -52,7 +52,8 @@ QCHUNK_BIG_DP = 1152  # padded d at/above which the chunk halves
 def _env_int(name: str) -> int | None:
     """Optional integer override from the environment (A/B experiments on
     the remote TPU without code edits: CDT_FLASH_QCHUNK overrides the
-    chunked-path query-chunk rows, CDT_FLASH_BQ_CHUNK its query block)."""
+    chunked-path query-chunk rows, CDT_FLASH_BQ_CHUNK its query block,
+    CDT_FLASH_BP the patch block wherever the policy would choose)."""
     import os
 
     val = os.environ.get(name)
@@ -360,12 +361,32 @@ def flash_score_update(
         # (measured ~4% below 512 standalone, and it compiles everywhere).
         bq_chunk = block_q if block_q is not None else 256
         bq_chunk = _env_int("CDT_FLASH_BQ_CHUNK") or bq_chunk
+        bp_chunk = block_p
+        if bp_chunk is None and _round_up(d, 128) >= QCHUNK_BIG_DP:
+            # The chunked-call scoped stack is tighter still at dp>=1152:
+            # the default policy's K tiles (1024/512 wide) overflow by
+            # 1.6-4.7 MB once XLA parks the per-chunk outputs alongside
+            # (measured offline-AOT for v5e, tools/aot_check.py: k=19
+            # 'high' 17.6M, k=27 'high' 19.7M / 'highest' 18.1M at bp=256
+            # vs the 16 MB limit). Cap the K tile here — 512 up to
+            # dp=2048, then 256 ('high') / 128 ('highest', whose 6-pass
+            # fp32 emulation carries 3-way bf16 operand splits). All
+            # twelve 64x64 k<=27 configs compile under this cap
+            # (aot_check --sweep); env knobs above still win for A/B.
+            dp_e = _round_up(d, 128)
+            if dp_e <= 2048:
+                bp_chunk = 512
+            elif precision == "highest":
+                bp_chunk = 128
+            else:
+                bp_chunk = 256
+        bp_chunk = _env_int("CDT_FLASH_BP") or bp_chunk
         outs = [
             flash_score_update(
                 q[i : i + qchunk], qn[i : i + qchunk], bank, pn, values, w,
                 at, bt,
                 (m0[i : i + qchunk], s10[i : i + qchunk], s20[i : i + qchunk]),
-                block_q=bq_chunk, block_p=block_p, interpret=interpret,
+                block_q=bq_chunk, block_p=bp_chunk, interpret=interpret,
                 precision=precision, v_strategy=v_strategy, fast_exp=fast_exp,
                 inbank_cols=inbank_cols,
             )
@@ -413,6 +434,8 @@ def flash_score_update(
             bq_d, bp_d = 256, 512  # k27: the one config that fits
     if block_q is None:
         block_q = max(256, min(bq_d, _round_up(M, 256)))
+    if block_p is None:
+        block_p = _env_int("CDT_FLASH_BP")
     if block_p is None:
         # floor 512 except where the policy itself asks for less (dp>2048)
         block_p = max(min(512, bp_d), min(bp_d, _round_up(P, 512)))

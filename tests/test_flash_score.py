@@ -319,6 +319,52 @@ def test_query_chunking_matches_whole_call(monkeypatch):
         )
 
 
+@pytest.mark.parametrize(
+    "d,precision",
+    [(1200, "high"), (2100, "high"), (2100, "highest")],
+    ids=["dp1280-high", "dp2176-high", "dp2176-highest"],
+)
+def test_query_chunking_bigdp_bp_cap(monkeypatch, d, precision):
+    """At dp >= QCHUNK_BIG_DP the chunked path caps block_p below the
+    standalone policy (512 / 256 / 128 by tier+dp — the scoped-VMEM fix
+    measured offline-AOT for v5e, tools/aot_check.py). The cap must be
+    numerically inert: chunked-capped output == whole-call output."""
+    import convolutional_diffusion_tpu.ops.flash_score as fs
+
+    M, P, c = 160, 300, 3
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
+    bank = jnp.asarray(rs.normal(size=(P, d)).astype(np.float32))
+    values = jnp.asarray(rs.normal(size=(P, c)).astype(np.float32))
+    w = jnp.asarray(rs.uniform(0.5, 1.5, size=(P,)).astype(np.float32))
+    qn = jnp.sum(q**2, axis=1)
+    pn = jnp.sum(bank**2, axis=1)
+    at, bt = jnp.float32(0.8), jnp.float32(0.6)
+    st = state_to_pallas(
+        jnp.full((M,), -jnp.inf), jnp.zeros((M,)), jnp.zeros((M, c))
+    )
+    raw = fs.flash_score_update.__wrapped__
+    args = (q, qn, bank, pn, values, w, at, bt, st)
+    whole = raw(*args, block_q=64, block_p=128, interpret=True,
+                precision=precision)
+    # engage chunking at this tiny M; block_p=None routes through the cap
+    monkeypatch.setenv("CDT_FLASH_QCHUNK", "64")
+    monkeypatch.setenv("CDT_FLASH_BQ_CHUNK", "64")
+    monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 128)
+    chunked = raw(*args, block_q=None, block_p=None, interpret=True,
+                  precision=precision)
+    # s2 tolerance scales with the reduction length: at d>=1200 the jit'd
+    # chunk calls vs the eager whole call differ by reassociation alone
+    # (worst observed 1/480 elements at ~1e-3 rel) — a slicing bug would
+    # show O(1) errors across whole rows, far outside these bounds.
+    for name, a, b, rtol in zip(
+        ("m", "s1", "s2"), whole, chunked, (1e-6, 5e-4, 5e-3)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-6, err_msg=name
+        )
+
+
 # --------------------------- 'inbank' strategy ---------------------------
 # V is a contiguous column slice of the bank (the patch centers), so the
 # kernel can accumulate s2 as e @ K on the MXU with NO separate values
