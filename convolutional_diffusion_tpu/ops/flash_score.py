@@ -368,14 +368,21 @@ def flash_score_update(
             # 1.6-4.7 MB once XLA parks the per-chunk outputs alongside
             # (measured offline-AOT for v5e, tools/aot_check.py: k=19
             # 'high' 17.6M, k=27 'high' 19.7M / 'highest' 18.1M at bp=256
-            # vs the 16 MB limit). Cap the K tile here — 512 up to
-            # dp=2048, then 256 ('high') / 128 ('highest', whose 6-pass
-            # fp32 emulation carries 3-way bf16 operand splits). All
-            # twelve 64x64 k<=27 configs compile under this cap
-            # (aot_check --sweep); env knobs above still win for A/B.
+            # vs the 16 MB limit). Cap the K tile here — 'high': 512 up
+            # to dp=2048 then 256; 'highest' (whose 6-pass fp32 emulation
+            # carries 3-way bf16 operand splits): 512 up to dp=1152, 256
+            # to dp=2048, then 128. All sixteen 64x64 k<=27 configs
+            # compile under this cap (aot_check --sweep); env knobs
+            # above still win for A/B.
             dp_e = _round_up(d, 128)
             if dp_e <= 2048:
-                bp_chunk = 512
+                # 'highest' overflows 512-wide K tiles past dp=1152 (k=23:
+                # 17.14M vs the 16M stack, offline-AOT) — its 6-pass split
+                # carries 3x bf16 operand copies per tile.
+                if precision == "highest" and dp_e > 1152:
+                    bp_chunk = 256
+                else:
+                    bp_chunk = 512
             elif precision == "highest":
                 bp_chunk = 128
             else:

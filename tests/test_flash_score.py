@@ -321,8 +321,8 @@ def test_query_chunking_matches_whole_call(monkeypatch):
 
 @pytest.mark.parametrize(
     "d,precision",
-    [(1200, "high"), (2100, "high"), (2100, "highest")],
-    ids=["dp1280-high", "dp2176-high", "dp2176-highest"],
+    [(1200, "high"), (2100, "high"), (1700, "highest"), (2100, "highest")],
+    ids=["dp1280-high", "dp2176-high", "dp1792-highest", "dp2176-highest"],
 )
 def test_query_chunking_bigdp_bp_cap(monkeypatch, d, precision):
     """At dp >= QCHUNK_BIG_DP the chunked path caps block_p below the
