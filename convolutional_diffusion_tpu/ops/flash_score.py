@@ -350,6 +350,13 @@ def flash_score_update(
     # chunking (256x2048 measured 58.5 vs 60.0 Gpairs/s at k=11).
     if M > 32768 and 384 <= _round_up(d, 128) < 640 and block_q is None:
         block_q = 256
+    # Same stack pressure one octave down: at M=131072/dp=256 the 512x2048
+    # 'high' tiles sit ~1M over the scoped limit inside the chunk scan
+    # (k=9 64x64 at seed batch 32, offline-AOT; k=7 at the same dp squeaks
+    # by, so the whole band is marginal). The 256-row query block drops the
+    # 4M f32 accumulator tile to 2M.
+    if M > 65536 and 256 <= _round_up(d, 128) < 384 and block_q is None:
+        block_q = 256
 
     qchunk = QCHUNK if _round_up(d, 128) < QCHUNK_BIG_DP else QCHUNK // 2
     qchunk = _env_int("CDT_FLASH_QCHUNK") or qchunk

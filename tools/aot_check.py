@@ -162,8 +162,8 @@ CAPACITY_CASES = (
     (11, "high", 32, 64), (13, "high", 32, 64),
     (15, "high", 32, 32), (17, "high", 32, 32),
     (15, "highest", 32, 32), (17, "highest", 32, 32),
-    (3, "high", 64, 32), (9, "high", 64, 32), (13, "high", 64, 32),
-    (19, "high", 64, 32), (27, "high", 64, 32),
+    (3, "high", 64, 32), (7, "high", 64, 32), (9, "high", 64, 32),
+    (13, "high", 64, 32), (19, "high", 64, 32), (27, "high", 64, 32),
 )
 
 
