@@ -429,6 +429,12 @@ def flash_score_update(
     if precision == "highest":
         if dp_est <= 512:
             bq_d, bp_d = 256, 2048  # k3: 87.7 vs 78.6 @ old 1024x1024
+            if v_strategy == "inbank" and dp_est >= 256:
+                # inbank widens the s2 accumulator/output tiles to a full
+                # 128-lane slab; at dp=256 that tips the scoped stack 116K
+                # over 16M in the chunk scan (offline-AOT) — halve the K
+                # tile for this (roofline-predicted-loss) A/B combination.
+                bp_d = 1024
         elif dp_est <= 1152:
             bq_d, bp_d = 256, 1024  # k17: 15.4 vs 14.6; k19: 12.3 vs 11.8
         elif dp_est <= 2048:
