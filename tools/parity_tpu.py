@@ -175,7 +175,7 @@ def golden_cases(rows):
     rows.append(("ELS shuffle (pallas)", "recorded perm, max=8", mx, rel, 1e-3))
 
 
-def grid_cases(rows, d=75, configs=None, P_pair=None):
+def grid_cases(rows, d=75, configs=None, P_pair=None, M=1100):
     """Multi-block grid + chunk-chaining check vs a float64 host reference.
 
     The goldens above are 8x8 fixtures — a single (padded) kernel block. This
@@ -186,7 +186,10 @@ def grid_cases(rows, d=75, configs=None, P_pair=None):
     512x2048/256x2048 regime), and — with a reduced config set and bank —
     d=1083/2187 (k=19/27, the 64x64-regime 256x1024 / 512x512 / 256x256
     branches, incl. the fp32 256x256 one that exists because larger tiles
-    overflow scoped VMEM there)."""
+    overflow scoped VMEM there). M=16384 at those d additionally engages
+    the query-chunked path (QCHUNK halves to 8192 at dp>=1152, so each
+    call splits in two) and its scoped-VMEM block_p cap — the exact
+    programs the 64x64 machines dispatch."""
     import jax.numpy as jnp
 
     from convolutional_diffusion_tpu.ops.flash_score import (
@@ -196,7 +199,7 @@ def grid_cases(rows, d=75, configs=None, P_pair=None):
     )
 
     rng = np.random.default_rng(0)
-    M, c = 1100, 3
+    c = 3
     # two chained chunks, non-multiples of block_p
     P1, P2 = P_pair or (70_001, 40_000)
     at64, bt64 = 0.9, np.sqrt(1 - 0.9**2)
@@ -268,7 +271,10 @@ def grid_cases(rows, d=75, configs=None, P_pair=None):
         mean = np.asarray(s2) / np.asarray(s1)[:, None]
         mx, rel = dev(mean, mean64)
         rows.append(
-            (f"Kernel grid (110k patches, 2 chunks, d={d})", tag, mx, rel, tol)
+            (
+                f"Kernel grid (M={M}, {P1 + P2} patches, 2 chunks, d={d})",
+                tag, mx, rel, tol,
+            )
         )
 
 
@@ -281,10 +287,12 @@ def write_section(rows, backend, elapsed):
         f"The same goldens, executed on the real TPU (`{backend}` backend)",
         "with `use_pallas=True` — the Mosaic-lowered flash-score kernel that",
         "produces every hardware throughput number — plus multi-block grid",
-        "checks (M=1100, two chained chunks) against a float64 host",
-        "reference at one d per block-policy regime: d=75, 363 (110k",
-        "patches) and 1083, 2187 (the 64x64-regime k=19/27 branches, 32k",
-        "patches). Regenerate: `python tools/parity_tpu.py`.",
+        "checks (two chained chunks) against a float64 host reference at",
+        "one d per block-policy regime: d=75, 363 (M=1100, 110k patches),",
+        "1083, 2187 (the 64x64-regime k=19/27 branches, 32k patches), and",
+        "the M=16384 rows that engage the query-CHUNKED path under its",
+        "scoped-VMEM block_p cap (the exact programs the 64x64 machines",
+        "dispatch). Regenerate: `python tools/parity_tpu.py`.",
         "",
         "| component | case | max abs dev | max rel dev | tol | ok |",
         "|---|---|---|---|---|---|",
@@ -356,6 +364,11 @@ def main():
     )
     grid_cases(rows, d=1083, configs=bigd, P_pair=(20_001, 12_000))
     grid_cases(rows, d=2187, configs=bigd, P_pair=(20_001, 12_000))
+    # query-CHUNKED path at big d (M=16384 > the halved 8192 chunk): two
+    # chunk calls per update under the scoped-VMEM block_p cap — bp=512
+    # (dp=1152) and bp=256/128 ('high'/'highest' at dp=2304)
+    grid_cases(rows, d=1083, configs=bigd, P_pair=(6_001, 4_000), M=16384)
+    grid_cases(rows, d=2187, configs=bigd, P_pair=(6_001, 4_000), M=16384)
     golden_cases(rows)
     elapsed = time.time() - t0
     if backend == "cpu":
