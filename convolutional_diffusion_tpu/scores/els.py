@@ -39,13 +39,16 @@ from .common import (
 )
 
 
-# Per-tier padded-d ceilings for the kernel's 'inbank' strategy, from the
-# small-k roofline arithmetic (PERFORMANCE.md): fast mode pays ONE extra
-# bf16 MXU pass and sheds ~6 VPU passes (the winner); 'high' lands exactly
-# on its joint VPU/MXU roofline (expect ~0); fp32-HIGHEST pays 6 fp32-rate
-# passes (a loss). Defaults stay 0 (off) until the TPU A/B
-# (tools/measure_round3.py inbank) confirms; flip per tier here.
-_INBANK_DEFAULT_MAX_DP = {"default": 0, "high": 0, "highest": 0}
+# Per-tier padded-d ceilings for the kernel's 'inbank' strategy, set from
+# the TPU A/B (tools/measure_round3.py inbank, measure_round3_out.json):
+# fast mode at dp=128 (k<=5 RGB) ON wins +22% (134.5 vs 109.9 Gpairs/s at
+# k3; 133.2 vs 109.6 at k5) exactly as the small-k roofline predicted
+# (PERFORMANCE.md); at dp=256 (k7/k9) it is noise-level (+0.8%), left off.
+# 'high' ON LOSES everywhere (94.3 vs 129.2 at k3 — it sits on a joint
+# VPU/MXU roofline and inbank doubles its MXU passes), and 'highest' pays
+# 6 extra fp32-rate passes (roofline ceiling 64 G < its measured 89.7 G):
+# both stay 0.
+_INBANK_DEFAULT_MAX_DP = {"default": 128, "high": 0, "highest": 0}
 
 
 def _inbank_max_dp(precision: str = "highest") -> int:
