@@ -550,6 +550,57 @@ def test_inbank_sweep_wiring(monkeypatch):
     )
 
 
+def test_inbank_default_gate(monkeypatch):
+    """The production gate (no env override): fast mode routes inbank at
+    dp<=128 (+22% measured, PERFORMANCE.md small-k A/B), the parity tiers
+    never do ('high' sits on a joint VPU/MXU roofline; 'highest' pays
+    fp32-rate extra passes)."""
+    import convolutional_diffusion_tpu.ops.flash_score as fs
+    import convolutional_diffusion_tpu.scores.els as els_mod
+    from convolutional_diffusion_tpu.ops.patches import center_index
+
+    monkeypatch.delenv("CDT_ELS_INBANK_MAX_DP", raising=False)
+    assert els_mod._inbank_max_dp("default") == 128
+    assert els_mod._inbank_max_dp("high") == 0
+    assert els_mod._inbank_max_dp("highest") == 0
+
+    seen = []
+    orig = fs.flash_score_update
+
+    def recording(*a, **kw):
+        seen.append(kw.get("v_strategy", "auto"))
+        kw["interpret"] = True
+        kw.setdefault("block_q", 32)
+        kw.setdefault("block_p", 128)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fs, "flash_score_update", recording)
+
+    rs = np.random.RandomState(5)
+    k, c = 3, 3
+    d = k * k * c  # dp=128: inside the fast-mode gate
+    B, nblk = 128, 1
+    bank_rows = jnp.asarray(rs.normal(size=(nblk * B, d)).astype(np.float32))
+    centers = bank_rows[:, center_index(k, c)]
+    args = (
+        jnp.asarray(rs.normal(size=(16, d)).astype(np.float32)),
+        None, bank_rows.reshape(nblk, B * d),
+        centers.reshape(nblk, B * c),
+        jnp.sum(bank_rows**2, axis=1).reshape(nblk, B),
+        jnp.ones((nblk, B), jnp.float32),
+        jnp.float32(0.8), jnp.float32(0.6),
+    )
+    args = (args[0], jnp.sum(args[0] ** 2, axis=1)) + args[2:]
+    kw = dict(B=B, d=d, c=c, use_pallas=True,
+              inbank_col=center_index(k, c).start)
+    for precision, expect in (
+        ("default", "inbank"), ("high", "auto"), ("highest", "auto")
+    ):
+        seen.clear()
+        els_mod.banked_sweep(*args, precision=precision, **kw)
+        assert seen and all(s == expect for s in seen), (precision, seen)
+
+
 def test_inbank_exact_lane_multiple_d():
     """d == dp leaves no spare padded lane: the s1 ones-column fusion must
     fall back to the VPU row-sum (s1_fused=False) and stay correct."""

@@ -330,8 +330,16 @@ def stage_celeba64_b32():
         flush()
 
 
+def stage_per_k_fast():
+    """Fast-mode ('default' tier) per-k decomposition — run after flipping
+    the inbank gate so the predicted machine rate reflects the new default
+    (+22% at k3/k5, measure_round3_out.json 'inbank')."""
+    stage_per_k(precisions=("default",))
+
+
 STAGES = {
     "per_k": stage_per_k,
+    "per_k_fast": stage_per_k_fast,
     "extract_ab": stage_extract_ab,
     "inbank": stage_inbank,
     "blocks": stage_blocks,
