@@ -63,17 +63,32 @@ def calibrate(
     eval_mode: str = "cos",
     noise_schedule=cosine_noise_schedule,
     key: Optional[jax.Array] = None,
+    x0: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Returns {'k_optimals' [nsamps, nsteps], 'median' [nsteps],
-    'mode' [nsteps]} with reference index semantics (index i-1 = step i)."""
-    if key is None:
-        raise ValueError("need a PRNG key")
+    'mode' [nsteps]} with reference index semantics (index i-1 = step i).
+
+    `x0` [nsamps, h, w, c] (and `labels` [nsamps] when conditional) inject
+    the initial seeds instead of drawing from `key` — used by the golden
+    parity tests to replay the reference's recorded torch draws
+    (scales_calibration.py:131-136)."""
+    if x0 is None and key is None:
+        raise ValueError("need a PRNG key or explicit x0 seeds")
     kernel_sizes = sorted(score_modules)
-    kx, kl = jax.random.split(key)
-    x = jax.random.normal(kx, (nsamps, image_size, image_size, in_channels))
-    labels = (
-        jax.random.randint(kl, (nsamps,), 0, nlabels) if conditional else None
-    )
+    if x0 is not None:
+        x = jnp.asarray(x0)
+        if x.shape[0] != nsamps:
+            raise ValueError(f"x0 batch {x.shape[0]} != nsamps {nsamps}")
+        if conditional and labels is None:
+            raise ValueError("conditional calibration with x0 needs labels")
+        labels = jnp.asarray(labels) if conditional else None
+    else:
+        kx, kl = jax.random.split(key)
+        x = jax.random.normal(kx, (nsamps, image_size, image_size, in_channels))
+        labels = (
+            jax.random.randint(kl, (nsamps,), 0, nlabels) if conditional else None
+        )
 
     k_optimals = np.zeros((nsamps, nsteps), np.int32)
     ks = jnp.asarray(kernel_sizes)

@@ -101,6 +101,81 @@ class TestCalibrate:
         assert np.all(res["k_optimals"] == 3)
 
 
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "calibration.npz")
+
+
+class TestCalibrationGolden:
+    """End-to-end parity with the REFERENCE calibrate()
+    (scales_calibration.py:33-188): same CNN weights, same recorded torch
+    seed/label draws, same per-step k choices and median/mode aggregates."""
+
+    CASES = {
+        # tag -> (module type, conditional, eval_mode, nsteps)
+        "uncond_cos": ("bbELS", False, "cos", 4),
+        "cond_cos": ("bbELS", True, "cos", 3),
+        "uncond_l2": ("ELS", False, "l2_dist", 3),
+    }
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        if not os.path.exists(GOLDEN):
+            pytest.skip("calibration golden missing — run tools/make_goldens.py")
+        return np.load(GOLDEN)
+
+    @pytest.mark.parametrize("tag", sorted(CASES))
+    def test_matches_reference(self, golden, tag):
+        from convolutional_diffusion_tpu import convert
+        from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+
+        smt, conditional, eval_mode, nsteps = self.CASES[tag]
+        z = golden
+        sd = {
+            k[len(f"{tag}/sd/"):]: z[k]
+            for k in z.files
+            if k.startswith(f"{tag}/sd/")
+        }
+        net = MinimalResNet(
+            channels=1, emb_dim=16, kernel_size=3, num_layers=1, lastksize=3,
+            mode="zeros", conditional=conditional,
+            **({"num_classes": 3} if conditional else {}),
+        )
+        params = convert.resnet_params_from_torch(
+            sd, num_layers=1, normalization=None, conditional=conditional
+        )
+
+        def eps_fn(t, x, label):
+            return net.apply({"params": params}, t, x, label)
+
+        imgs = np.transpose(z["imgs"], (0, 2, 3, 1))  # NCHW -> NHWC
+        dataset = (imgs, z["labs"].astype(np.int32))
+        cls = (
+            LocalEquivScoreModule if smt == "ELS"
+            else LocalEquivBordersScoreModule
+        )
+        mods = {
+            k: cls(
+                dataset, kernel_size=k, batch_size=6,
+                schedule=cosine_noise_schedule,
+            )
+            for k in (3, 5)
+        }
+        x0 = jnp.asarray(np.transpose(z[f"{tag}/x0"], (0, 2, 3, 1)))
+        labels = (
+            jnp.asarray(z[f"{tag}/labels"].astype(np.int32))
+            if conditional else None
+        )
+        res = calibrate(
+            eps_fn, mods, image_size=8, in_channels=1,
+            nsamps=x0.shape[0], nsteps=nsteps, conditional=conditional,
+            nlabels=3, eval_mode=eval_mode, x0=x0, labels=labels,
+        )
+        np.testing.assert_array_equal(
+            res["k_optimals"], z[f"{tag}/k_optimals"]
+        )
+        np.testing.assert_array_equal(res["median"], z[f"{tag}/median"])
+        np.testing.assert_array_equal(res["mode"], z[f"{tag}/mode"])
+
+
 class TestCalibrateWithReferencePickle:
     def test_calibrate_cli_accepts_pt_model(self, tmp_path):
         """The calibrate CLI must ingest a reference-format .pt whole pickle

@@ -559,13 +559,104 @@ def make_eval_goldens():
     save("eval_corrs", **arrays)
 
 
+def make_calibration_goldens():
+    """End-to-end calibration golden: run the REAL reference
+    scales_calibration.calibrate() (scripts/scales_calibration.py:33-188 —
+    per-step CNN DDIM advance, per-k analytic estimates, argmax-cos /
+    argmin-L2 selection, median/mode aggregation) on a tiny fixture dataset
+    + pickled model, recording the torch seed/label draws by interception so
+    our batched `calibration.calibrate(x0=..., labels=...)` can replay them
+    exactly."""
+    import importlib.util
+    import tempfile
+
+    stub_torchvision()
+    sys.path.insert(0, REFERENCE)
+    from src.models import DDIM, MinimalResNet
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_scales_calibration",
+        os.path.join(REFERENCE, "scripts", "scales_calibration.py"),
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    from torch.utils.data import TensorDataset
+
+    rs = np.random.RandomState(17)
+    N, c, h = 12, 1, 8
+    imgs = torch.tensor(rs.uniform(-1, 1, size=(N, c, h, h)).astype(np.float32))
+    labs = torch.tensor(rs.randint(0, 3, size=(N,)).astype(np.int64))
+    ds = TensorDataset(imgs, labs)
+    sc.get_dataset = lambda name, root=None: (
+        ds, {"num_channels": c, "image_size": h}
+    )
+
+    cases = {
+        # (scoremoduletype, conditional, eval_mode, nsamps, nsteps, torch seed)
+        "uncond_cos": ("bbELS", False, "cos", 3, 4, 123),
+        "cond_cos": ("bbELS", True, "cos", 3, 3, 31),
+        "uncond_l2": ("ELS", False, "l2_dist", 2, 3, 7),
+    }
+    arrays = {"imgs": imgs.numpy(), "labs": labs.numpy().astype(np.int64)}
+    for tag, (smt, conditional, eval_mode, nsamps, nsteps, seed) in cases.items():
+        torch.manual_seed(5 if conditional else 6)
+        net = MinimalResNet(
+            channels=c, emb_dim=16, kernel_size=3, num_layers=1, lastksize=3,
+            mode="zeros", conditional=conditional,
+            **({"num_classes": 3} if conditional else {}),
+        ).eval()
+        model = DDIM(pretrained_backbone=net, in_channels=c, default_imsize=h)
+        # record the reference's torch.randn / torch.randint draws in call
+        # order (per sample: [randint when conditional,] randn — no other RNG
+        # consumer runs inside the no_grad loop; loaders are shuffle=False)
+        drawn_x, drawn_lab = [], []
+        orig_randn, orig_randint = torch.randn, torch.randint
+
+        def rec_randn(*a, **kw):
+            v = orig_randn(*a, **kw)
+            drawn_x.append(v.clone())
+            return v
+
+        def rec_randint(*a, **kw):
+            v = orig_randint(*a, **kw)
+            drawn_lab.append(v.clone())
+            return v
+
+        with tempfile.TemporaryDirectory() as tmp:
+            torch.save(model, os.path.join(tmp, "m.pt"))
+            torch.manual_seed(seed)
+            torch.randn, torch.randint = rec_randn, rec_randint
+            try:
+                with torch.no_grad():
+                    res = sc.calibrate(
+                        tld=tmp, modelfile="m.pt", dataset_name="fixture",
+                        scoremoduletype=smt, conditional=conditional,
+                        kernelsizes=[3, 5], scorebatchsize=6, nsamps=nsamps,
+                        nsteps=nsteps, nlabels=3, eval_mode=eval_mode, cpu=True,
+                    )
+            finally:
+                torch.randn, torch.randint = orig_randn, orig_randint
+        assert len(drawn_x) == nsamps, (tag, len(drawn_x))
+        arrays.update(sd_to_numpy(net.state_dict(), f"{tag}/sd/"))
+        arrays[f"{tag}/x0"] = torch.cat(drawn_x, dim=0).numpy()  # [nsamps,c,h,h]
+        if conditional:
+            assert len(drawn_lab) == nsamps
+            arrays[f"{tag}/labels"] = torch.cat(drawn_lab).numpy()
+        arrays[f"{tag}/k_optimals"] = res["k_optimals"].numpy().astype(np.int32)
+        arrays[f"{tag}/median"] = res["median"].numpy().astype(np.int32)
+        arrays[f"{tag}/mode"] = res["mode"].numpy().astype(np.int32)
+    save("calibration", **arrays)
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only", default=None,
-        choices=[None, "main", "cutoffs", "ddpm_moments", "batchnorm", "eval"],
+        choices=[None, "main", "cutoffs", "ddpm_moments", "batchnorm", "eval",
+                 "calibration"],
     )
     a = ap.parse_args()
     if a.only in (None, "main"):
@@ -578,3 +669,5 @@ if __name__ == "__main__":
         make_batchnorm_goldens()
     if a.only in (None, "eval"):
         make_eval_goldens()
+    if a.only in (None, "calibration"):
+        make_calibration_goldens()
