@@ -64,22 +64,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def query_slice_rows(d: int) -> int | None:
-    """Rows per query slice for sweep-level query slicing, or None when the
-    shape never chunks. Mirrors the chunked-path gates below so a sweep that
-    pre-slices its queries to exactly this size keeps flash_score_update on
-    its PLAIN path (M == slice, never >): the dataset scan then carries a
-    slice-sized state and emits NO per-step chunk concatenate — the two
-    things XLA parks in scoped VMEM next to the kernel tiles, which forced
-    the chunked path's 256-row/narrow-K tile caps (see els.py els_sweep /
-    banked_sweep, where the slicing lives)."""
-    dp = _round_up(d, 128)
-    if dp < QCHUNK_MIN_DP:
-        return None
-    qchunk = QCHUNK if dp < QCHUNK_BIG_DP else QCHUNK // 2
-    return _env_int("CDT_FLASH_QCHUNK") or qchunk
-
-
 def _kernel(
     bias_ref, q_ref, k_ref, *refs,
     precision, c, v_strategy, fast_exp, s1_fused=False,
@@ -456,11 +440,7 @@ def flash_score_update(
         elif dp_est <= 2048:
             bq_d, bp_d = 256, 512  # k23: larger tiles fail VMEM
         else:
-            # k27: the production context is a sweep-sliced dataset scan
-            # (els.py), whose carried state + double-buffered 2304-lane
-            # tiles leave no room — 256x256 overflows the scoped stack
-            # in-scan (offline-AOT) even though it compiles standalone.
-            bq_d, bp_d = 256, 128
+            bq_d, bp_d = 256, 256  # k27: 256x512 needs 18.3M > 16M scoped
     else:
         if dp_est <= 384:
             bq_d, bp_d = 512, 2048  # k3: 124.9 vs 110.1; k11: 60.0 vs 40.9
@@ -471,10 +451,7 @@ def flash_score_update(
         elif dp_est <= 2048:
             bq_d, bp_d = 512, 512  # k23: 14.0 vs 13.3
         else:
-            # standalone 256x512 fits, but the sweep-sliced scan context
-            # (the production path) overflows scoped VMEM there by 3.95M
-            # (offline-AOT, k=27 64x64) — cap to the old chunked-path tile
-            bq_d, bp_d = 256, 256
+            bq_d, bp_d = 256, 512  # k27: the one config that fits
     if block_q is None:
         block_q = max(256, min(bq_d, _round_up(M, 256)))
     if block_p is None:

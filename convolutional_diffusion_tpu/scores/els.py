@@ -106,60 +106,7 @@ def els_sweep(
     beta2 = 2.0 * bt**2
 
     if use_pallas:
-        from ..ops.flash_score import (
-            flash_score_update,
-            query_slice_rows,
-            state_from_pallas,
-            state_to_pallas,
-        )
-
-        qs = query_slice_rows(d)
-        if qs is not None and M > qs:
-            # Hoist the kernel's large-M x large-d query chunking OUT of the
-            # dataset scan: query rows are independent, so slice them here
-            # and run one full chunk scan per slice — bit-exact, and the
-            # bank/HBM traffic is unchanged (the kernel grid re-reads K per
-            # query block either way; only the cheap per-chunk patch
-            # extraction repeats per slice, measured free — PERFORMANCE.md
-            # "extraction is free"). The win: each scan carries a
-            # slice-sized state and emits no per-step chunk concatenate —
-            # the two things XLA parks in scoped VMEM next to the kernel
-            # tiles — so the kernel keeps its full measured block policy
-            # instead of the chunked path's 256-row/narrow-K caps.
-            if state0 is None:
-                state0 = (
-                    jnp.full((M,), -jnp.inf, jnp.float32),
-                    jnp.zeros((M,), jnp.float32),
-                    jnp.zeros((M, c), jnp.float32),
-                )
-
-            def run_slice(q_s, qn_s, st_s):
-                return els_sweep(
-                    images_p, w_img_p, q_s, qn_s, at, bt, k=k, cs=cs,
-                    hwc=hwc, per_img=per_img, c=c, use_pallas=True,
-                    precision=precision, state0=st_s,
-                )
-
-            if M % qs == 0:
-                # identical slices: one compiled scan body via lax.map
-                n_sl = M // qs
-                st_r = tuple(
-                    a.reshape(n_sl, qs, *a.shape[1:]) for a in state0
-                )
-                m_, s1_, s2_ = jax.lax.map(
-                    lambda t: run_slice(t[0], t[1], (t[2], t[3], t[4])),
-                    (xq_flat.reshape(n_sl, qs, d), qn_flat.reshape(n_sl, qs))
-                    + st_r,
-                )
-                return m_.reshape(M), s1_.reshape(M), s2_.reshape(M, c)
-            parts = [
-                run_slice(
-                    xq_flat[i : i + qs], qn_flat[i : i + qs],
-                    tuple(a[i : i + qs] for a in state0),
-                )
-                for i in range(0, M, qs)
-            ]
-            return tuple(jnp.concatenate(ps) for ps in zip(*parts))
+        from ..ops.flash_score import flash_score_update, state_from_pallas, state_to_pallas
 
         inbank = -(-d // 128) * 128 <= _inbank_max_dp(precision)
         ib_kw = (
@@ -264,73 +211,9 @@ def banked_sweep(
     if use_pallas:
         from ..ops.flash_score import (
             flash_score_update,
-            query_slice_rows,
             state_from_pallas,
             state_to_pallas,
         )
-
-        qs = query_slice_rows(d)
-        if qs is not None and M > qs:
-            # Sweep-level query slicing — see els_sweep for the rationale
-            # (bit-exact; frees the scoped-VMEM stack the in-scan chunked
-            # path burned, restoring the full kernel block policy).
-            if state0 is None:
-                state0 = (
-                    jnp.full((M,), -jnp.inf, jnp.float32),
-                    jnp.zeros((M,), jnp.float32),
-                    jnp.zeros((M, c), jnp.float32),
-                )
-            if vector:
-                # per-seed weights: slice on seed boundaries so each
-                # slice's rows still map 1:1 onto its w_b rows
-                g = max(1, qs // rows_per_seed)  # seeds per slice
-                parts = []
-                for s0 in range(0, w_b.shape[1], g):
-                    r0 = s0 * rows_per_seed
-                    r1 = min(w_b.shape[1], s0 + g) * rows_per_seed
-                    parts.append(
-                        banked_sweep(
-                            q_flat[r0:r1], qn_flat[r0:r1], bank, centers,
-                            pn, w_b[:, s0 : s0 + g], at, bt, B=B, d=d, c=c,
-                            use_pallas=True, precision=precision,
-                            rows_per_seed=rows_per_seed,
-                            state0=tuple(a[r0:r1] for a in state0),
-                            return_m=True, inbank_col=inbank_col,
-                        )
-                    )
-                m_, s1_, s2_ = (jnp.concatenate(ps) for ps in zip(*parts))
-                return (m_, s1_, s2_) if return_m else (s1_, s2_)
-
-            def run_slice(q_s, qn_s, st_s):
-                return banked_sweep(
-                    q_s, qn_s, bank, centers, pn, w_b, at, bt, B=B, d=d,
-                    c=c, use_pallas=True, precision=precision,
-                    state0=st_s, return_m=True, inbank_col=inbank_col,
-                )
-
-            if M % qs == 0:
-                n_sl = M // qs
-                st_r = tuple(
-                    a.reshape(n_sl, qs, *a.shape[1:]) for a in state0
-                )
-                m_, s1_, s2_ = jax.lax.map(
-                    lambda t: run_slice(t[0], t[1], (t[2], t[3], t[4])),
-                    (q_flat.reshape(n_sl, qs, d), qn_flat.reshape(n_sl, qs))
-                    + st_r,
-                )
-                m_, s1_, s2_ = (
-                    m_.reshape(M), s1_.reshape(M), s2_.reshape(M, c)
-                )
-            else:
-                parts = [
-                    run_slice(
-                        q_flat[i : i + qs], qn_flat[i : i + qs],
-                        tuple(a[i : i + qs] for a in state0),
-                    )
-                    for i in range(0, M, qs)
-                ]
-                m_, s1_, s2_ = (jnp.concatenate(ps) for ps in zip(*parts))
-            return (m_, s1_, s2_) if return_m else (s1_, s2_)
 
         inbank = (
             inbank_col is not None

@@ -619,129 +619,3 @@ def test_inbank_exact_lane_multiple_d():
     np.testing.assert_allclose(
         np.asarray(ref[2]), np.asarray(ib[2]), rtol=1e-5, atol=1e-6
     )
-
-
-def _forced_interpret(monkeypatch):
-    import convolutional_diffusion_tpu.ops.flash_score as fs
-
-    orig = fs.flash_score_update
-
-    def forced(*a, **kw):
-        kw["interpret"] = True
-        kw.setdefault("block_q", 32)
-        kw.setdefault("block_p", 128)
-        return orig(*a, **kw)
-
-    monkeypatch.setattr(fs, "flash_score_update", forced)
-    return fs
-
-
-def test_sweep_query_slicing_els(monkeypatch):
-    """els_sweep hoists the kernel's large-M query chunking OUT of the
-    dataset scan (one scan per query slice — the scoped-VMEM structural
-    fix). Query rows are independent, so sliced == unsliced row-for-row,
-    on both the lax.map path (M % slice == 0) and the remainder loop."""
-    import convolutional_diffusion_tpu.ops.flash_score as fs
-    import convolutional_diffusion_tpu.scores.els as els_mod
-
-    _forced_interpret(monkeypatch)
-    rs = np.random.RandomState(7)
-    k, c = 3, 3
-    d = k * k * c  # dp = 128
-    n, h, wdt = 8, 6, 6
-    imgs = rs.normal(size=(n, h, wdt, c)).astype(np.float32)
-    per_img = (h - k + 1) * (wdt - k + 1)
-    cs = 4
-    images_p = jnp.asarray(imgs.reshape(2, cs, h * wdt * c))
-    w_img_p = jnp.asarray(rs.uniform(0.5, 1.5, size=(2, cs)).astype(np.float32))
-    at, bt = jnp.float32(0.8), jnp.float32(0.6)
-    common = dict(k=k, cs=cs, hwc=(h, wdt, c), per_img=per_img, c=c,
-                  use_pallas=True, precision="highest")
-
-    for M in (96, 80):  # 96 = 3 equal slices (lax.map); 80 = 32+32+16 loop
-        xq = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
-        qn = jnp.sum(xq**2, axis=1)
-        ref = els_mod.els_sweep(images_p, w_img_p, xq, qn, at, bt, **common)
-        monkeypatch.setattr(fs, "QCHUNK", 32)
-        monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 128)  # dp(27) = 128 engages
-        sliced = els_mod.els_sweep(
-            images_p, w_img_p, xq, qn, at, bt, **common
-        )
-        monkeypatch.setattr(fs, "QCHUNK", 16384)
-        monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 640)
-        for name, a, b in zip(("m", "s1", "s2"), ref, sliced):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
-                err_msg=f"M={M} {name}",
-            )
-
-
-def test_sweep_query_slicing_banked(monkeypatch):
-    """banked_sweep slicing: scalar weights (map + remainder-loop paths),
-    per-seed vector weights (seed-aligned slices), and state0 chaining."""
-    import convolutional_diffusion_tpu.ops.flash_score as fs
-    import convolutional_diffusion_tpu.scores.els as els_mod
-
-    _forced_interpret(monkeypatch)
-    rs = np.random.RandomState(9)
-    k, c = 3, 3
-    d = k * k * c
-    B, nblk = 128, 2
-    bank_rows = jnp.asarray(rs.normal(size=(nblk * B, d)).astype(np.float32))
-    from convolutional_diffusion_tpu.ops.patches import center_index
-
-    centers = bank_rows[:, center_index(k, c)]
-    pn = jnp.sum(bank_rows**2, axis=1).reshape(nblk, B)
-    at, bt = jnp.float32(0.8), jnp.float32(0.6)
-    base = dict(B=B, d=d, c=c, use_pallas=True, precision="highest",
-                return_m=True)
-    bank_a = bank_rows.reshape(nblk, B * d)
-    cent_a = centers.reshape(nblk, B * c)
-
-    def engage():
-        monkeypatch.setattr(fs, "QCHUNK", 32)
-        monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 128)
-
-    def disengage():
-        monkeypatch.setattr(fs, "QCHUNK", 16384)
-        monkeypatch.setattr(fs, "QCHUNK_MIN_DP", 640)
-
-    # scalar weights, with a non-trivial carried state0
-    w_b = jnp.asarray(rs.uniform(0.5, 1.5, size=(nblk, B)).astype(np.float32))
-    for M in (96, 80):
-        q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
-        qn = jnp.sum(q**2, axis=1)
-        st0 = (
-            jnp.asarray(rs.normal(size=(M,)).astype(np.float32)),
-            jnp.asarray(rs.uniform(0.5, 2.0, size=(M,)).astype(np.float32)),
-            jnp.asarray(rs.normal(size=(M, c)).astype(np.float32)),
-        )
-        args = (q, qn, bank_a, cent_a, pn, w_b, at, bt)
-        ref = els_mod.banked_sweep(*args, state0=st0, **base)
-        engage()
-        sliced = els_mod.banked_sweep(*args, state0=st0, **base)
-        disengage()
-        for name, a, b in zip(("m", "s1", "s2"), ref, sliced):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
-                err_msg=f"M={M} {name}",
-            )
-
-    # per-seed vector weights: slices must stay seed-aligned
-    S, rps = 3, 16  # qs=32 -> 2 seeds per slice, remainder 1
-    M = S * rps
-    q = jnp.asarray(rs.normal(size=(M, d)).astype(np.float32))
-    qn = jnp.sum(q**2, axis=1)
-    w2 = jnp.asarray(rs.uniform(0.2, 1.2, size=(nblk, S, B)).astype(np.float32))
-    args = (q, qn, bank_a, cent_a, pn, w2, at, bt)
-    ref = els_mod.banked_sweep(*args, rows_per_seed=rps, **base)
-    engage()
-    sliced = els_mod.banked_sweep(*args, rows_per_seed=rps, **base)
-    disengage()
-    for name, a, b in zip(("m", "s1", "s2"), ref, sliced):
-        # S=2 vs S=3 vmap widths compile to different programs -> ~2-ulp
-        # reassociation on s1; a slicing bug would be O(1) across rows
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
-            err_msg=f"vector {name}",
-        )

@@ -337,46 +337,7 @@ def stage_per_k_fast():
     stage_per_k(precisions=("default",))
 
 
-def stage_sliced():
-    """A/B the sweep-level query slicing (els.py, round 3): re-time the
-    configs whose kernels previously ran under the chunked path's tile caps
-    (M > 16384 at dp >= 640). Old numbers live in "capacity" / "celeba64";
-    the rerun records under "sliced" so both generations stay on record.
-
-    Order: cheapest first; the 64x64 k19 steps are the structural win
-    (K tile 512 -> 1024), k27 is a no-regression check (same tiles, concat
-    removed)."""
-    res = OUT.setdefault("sliced", {})
-    plan = [
-        # (key, precision, imsize, batch, k, old_sec)
-        ("high/b32/k15", "high", 32, 32, 15, 16.598),
-        ("high/b32/k17", "high", 32, 32, 17, 15.361),
-        ("high/b64/k15", "high", 32, 64, 15, 32.958),
-        ("high/b64/k17", "high", 32, 64, 17, 29.583),
-        ("high64/b8/k19", "high", 64, 8, 19, 243.086),
-        ("high64/b8/k27", "high", 64, 8, 27, 343.784),
-        ("highest64/b8/k19", "highest", 64, 8, 19, 349.104),
-    ]
-    mods = {}
-    for key, precision, imsize, batch, k, old in plan:
-        if "sec" in res.get(key, {}):
-            continue
-        mk = (precision, imsize)
-        if mk not in mods:
-            mods[mk] = make_module(50000, precision=precision, imsize=imsize)
-        try:
-            dt = step_time(mods[mk], k, batch, imsize=imsize)
-        except Exception as e:
-            res[key] = {"error": repr(e)[:600]}
-            flush()
-            continue
-        res[key] = {"sec": round(dt, 3), "old_sec": old,
-                    "speedup": round(old / dt, 3)}
-        flush()
-
-
 STAGES = {
-    "sliced": stage_sliced,
     "per_k": stage_per_k,
     "per_k_fast": stage_per_k_fast,
     "extract_ab": stage_extract_ab,
