@@ -346,6 +346,9 @@ def main():
         ("ELS", "high", 32, 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
         ("bbELS", "highest", 0, 32, "bbels_20step_50kbank_images_per_sec_fp32"),
         ("ELS", "default", 0, 32, "els_20step_50kbank_images_per_sec_fast"),
+        # bbELS per-chip capacity (0.1289 predicted per-k) — last: cheapest
+        # to lose to the soft budget
+        ("bbELS", "high", 32, 32, "bbels_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
     ]
     if os.environ.get("BENCH_CELEBA64"):
         # BASELINE.md CelebA_UNet_zeros workload (64x64, k up to 27):
