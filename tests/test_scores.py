@@ -431,3 +431,79 @@ class TestReviewGuards:
         # shares the device arrays — no duplicate dataset copy
         assert mod._local_fallback.images is mod.images
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLargeK:
+    """Large-d regime goldens (k=13/19 on 24x24, k=27 on 28x28): the padded-d
+    bands the TPU kernel's block policy / chunking treat separately, pinned
+    against the reference. Goldens are b=1: at b>1 the reference shares its
+    max-subtraction across the batch per pixel (idealscore.py:458-465), so
+    the weaker seed's denominators go subnormal at large d and ~1% of its
+    entries come out NaN/garbage — verified while recording. Our per-query
+    online softmax has no such coupling; test_batched_matches_single_large_k
+    pins that b=2 stays finite and row-identical to b=1."""
+
+    @pytest.fixture(scope="class")
+    def data24(self, z):
+        imgs = np.transpose(z["bigk/imgs24"], (0, 2, 3, 1))
+        labs = z["bigk/labs24"].astype(np.int32)
+        x = np.transpose(z["bigk/x24"], (0, 2, 3, 1))
+        return imgs, labs, x, float(z["t"][0])
+
+    @pytest.mark.parametrize("k", [13, 19])
+    def test_els_large_k(self, z, data24, k):
+        imgs, labs, x, t = data24
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=k, batch_size=5,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x[:1]), z, f"bigk/els_k{k}/out")
+
+    def test_bbels_k13(self, z, data24):
+        imgs, labs, x, t = data24
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=13, batch_size=5,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x[:1]), z, "bigk/bbels_k13/out")
+
+    def test_machine_large_k_schedule(self, z, data24):
+        """End-to-end machine across the dp<=512 / dp=1152 bands (k groups
+        3/13/19). Tolerance 1e-3: four sequential large-d steps compound
+        the fp32 reassociation differences (single-step cases hold 2e-4)."""
+        imgs, labs, x, t = data24
+        scales = [int(v) for v in z["bigk/machine/scales"]]
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=5,
+            schedule=cosine_noise_schedule,
+        )
+        machine = ScheduledScoreMachine(
+            mod, in_channels=3, imsize=24, scales=scales
+        )
+        check(machine(x[:1]), z, "bigk/machine/out", atol=1e-3)
+
+    def test_els_k27(self, z):
+        imgs = np.transpose(z["bigk/imgs28"], (0, 2, 3, 1))
+        labs = z["bigk/labs28"].astype(np.int32)
+        x = np.transpose(z["bigk/x28"], (0, 2, 3, 1))
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=27, batch_size=6,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(float(z["t"][0]), x[:1]), z, "bigk/els_k27/out")
+
+    def test_batched_matches_single_large_k(self, z, data24):
+        """The robustness delta vs the reference: at b=2 / k=19 the
+        reference NaNs ~3% of entries (cross-seed shared subtraction);
+        ours must stay finite and bit-consistent with the b=1 rows."""
+        imgs, labs, x, t = data24
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=19, batch_size=5,
+            schedule=cosine_noise_schedule,
+        )
+        batched = np.asarray(mod(t, x))
+        assert np.isfinite(batched).all()
+        single0 = np.asarray(mod(t, x[:1]))
+        np.testing.assert_allclose(
+            batched[:1], single0, rtol=2e-4, atol=1e-5
+        )

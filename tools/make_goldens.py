@@ -295,6 +295,78 @@ def main():
         arrays["machine/bbels/out"] = machinebb(xs.clone(), device=dev).numpy()
     arrays["machine/scales"] = np.array(scales)
 
+    # Large-d regime: k=13/19 on 24x24 (dp 512 / 1152) and k=27 on 28x28
+    # (dp 2304) — the padded-d bands the TPU kernel's block policy, chunked
+    # path and dispatch segmentation treat separately (ops/flash_score.py).
+    # The small-k goldens never leave dp<=256; these pin the large-k MATH
+    # against the reference so the hardware bands have reference-recorded
+    # numbers too (tools/parity_tpu.py runs them on the real chip).
+    # Fresh explicit RNGs only — appending here must not perturb the draws
+    # of any existing golden above.
+    rs3 = np.random.RandomState(17)
+    imgs24 = torch.tensor(
+        rs3.uniform(-1, 1, size=(8, 3, 24, 24)).astype(np.float32)
+    )
+    labs24 = torch.tensor(rs3.randint(0, 2, size=(8,)).astype(np.int64))
+    ds24 = TensorDataset(imgs24, labs24)
+    x24 = torch.randn(2, 3, 24, 24, generator=torch.Generator().manual_seed(4))
+    arrays["bigk/imgs24"] = imgs24.numpy()
+    arrays["bigk/labs24"] = labs24.numpy()
+    arrays["bigk/x24"] = x24.numpy()
+    # b=1: at b>1 the reference's max-subtraction is SHARED across the
+    # batch per pixel (idealscore.py:458-465 reduces over dims (0,1)), so
+    # the weaker seed's denominators go subnormal at large d and ~1% of its
+    # outputs are NaN/garbage. At b=1 the subtraction is genuinely
+    # per-query and the reference is healthy — record that.
+    for k in (13, 19):
+        mod = idealscore.LocalEquivScoreModule(
+            ds24, kernel_size=k, batch_size=5, schedule=cosine_noise_schedule
+        )
+        with torch.no_grad():
+            arrays[f"bigk/els_k{k}/out"] = mod(
+                ts, x24[:1].clone(), device=dev
+            ).numpy()
+    mod = idealscore.LocalEquivBordersScoreModule(
+        ds24, kernel_size=13, batch_size=5, image_size=24,
+        schedule=cosine_noise_schedule,
+    )
+    with torch.no_grad():  # b=1: the reference bbELS contract
+        arrays["bigk/bbels_k13/out"] = mod(
+            ts, x24[:1].clone(), device=dev
+        ).numpy()
+    # machine with a large-k schedule: groups steps by k across the
+    # dp<=512 / dp=1152 bands (i runs nsteps-1..1 -> k = 3,13,19,13)
+    scales24 = [3, 13, 19, 13, 3]
+    mod = idealscore.LocalEquivScoreModule(
+        ds24, kernel_size=3, batch_size=5, schedule=cosine_noise_schedule
+    )
+    machine24 = idealscore.ScheduledScoreMachine(
+        mod, in_channels=3, imsize=24, scales=scales24, score_backbone=True
+    )
+    with torch.no_grad():
+        arrays["bigk/machine/out"] = machine24(
+            x24[:1].clone(), device=dev
+        ).numpy()
+    arrays["bigk/machine/scales"] = np.array(scales24)
+
+    rs4 = np.random.RandomState(23)
+    imgs28 = torch.tensor(
+        rs4.uniform(-1, 1, size=(6, 3, 28, 28)).astype(np.float32)
+    )
+    labs28 = torch.tensor(rs4.randint(0, 2, size=(6,)).astype(np.int64))
+    ds28 = TensorDataset(imgs28, labs28)
+    x28 = torch.randn(2, 3, 28, 28, generator=torch.Generator().manual_seed(6))
+    arrays["bigk/imgs28"] = imgs28.numpy()
+    arrays["bigk/labs28"] = labs28.numpy()
+    arrays["bigk/x28"] = x28.numpy()
+    mod = idealscore.LocalEquivScoreModule(
+        ds28, kernel_size=27, batch_size=6, schedule=cosine_noise_schedule
+    )
+    with torch.no_grad():  # b=1: see the subtraction note above
+        arrays["bigk/els_k27/out"] = mod(
+            ts, x28[:1].clone(), device=dev
+        ).numpy()
+
     save("scores", **arrays)
 
 
