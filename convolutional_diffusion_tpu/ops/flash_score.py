@@ -444,6 +444,14 @@ def flash_score_update(
     else:
         if dp_est <= 384:
             bq_d, bp_d = 512, 2048  # k3: 124.9 vs 110.1; k11: 60.0 vs 40.9
+            if v_strategy == "inbank" and dp_est >= 384:
+                # inbank's dp-wide s2 accumulator + the bf16x3 split operand
+                # copies overflow the scoped stack with a 2048-wide K tile
+                # at dp=384 (offline-AOT: 'high' +1.6M, 'default' +976K
+                # over 16M; dp=256 fits and is measured — untouched). A/B
+                # and parity-only territory: the production inbank gate
+                # routes dp<=128.
+                bp_d = 1024
         elif dp_est <= 896:
             bq_d, bp_d = 512, 1024  # k13: 44.6 vs 33.2; k17: 26.3 vs 21.6
         elif dp_est <= 1152:

@@ -135,6 +135,56 @@ def golden_cases(rows):
             (f"Machine/bbELS (pallas, {precision})", "5-step trajectory", mx, rel, tol)
         )
 
+    # large-d goldens (k=13/19 on 24x24, k=27 on 28x28, b=1 — see
+    # tools/make_goldens.py "bigk"): reference-recorded numbers for the
+    # padded-d bands (dp 512/1152/2304) whose block policies/caps the
+    # synthetic grid cases below exercise only against a host float64 model
+    x24 = jnp.asarray(nhwc(z["bigk/x24"])[:1])
+    imgs24 = nhwc(z["bigk/imgs24"])
+    labs24 = z["bigk/labs24"].astype(np.int32)
+    for precision, tol in (("highest", 1e-3), ("high", 1e-3)):
+        for k in (13, 19):
+            mod = LocalEquivScoreModule(
+                (imgs24, labs24), kernel_size=k, batch_size=5,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision=precision,
+            )
+            mx, rel = dev(mod(t, x24), nhwc(z[f"bigk/els_k{k}/out"]))
+            rows.append(
+                (f"ELS large-d (pallas, {precision})", f"k={k} 24x24",
+                 mx, rel, tol)
+            )
+    bb24 = LocalEquivBordersScoreModule(
+        (imgs24, labs24), kernel_size=13, batch_size=5,
+        schedule=cosine_noise_schedule, use_pallas=True, precision="highest",
+    )
+    mx, rel = dev(bb24(t, x24), nhwc(z["bigk/bbels_k13/out"]))
+    rows.append(("bbELS large-d (pallas, highest)", "k=13 24x24", mx, rel, 1e-3))
+    mx, rel = dev(
+        ScheduledScoreMachine(
+            LocalEquivScoreModule(
+                (imgs24, labs24), kernel_size=3, batch_size=5,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision="highest",
+            ),
+            in_channels=3, imsize=24,
+            scales=[int(s) for s in z["bigk/machine/scales"]],
+        )(x24),
+        nhwc(z["bigk/machine/out"]),
+    )
+    rows.append(
+        ("Machine/ELS large-d (pallas, highest)", "k 3/13/19 trajectory",
+         mx, rel, 2e-3)
+    )
+    x28 = jnp.asarray(nhwc(z["bigk/x28"])[:1])
+    mod = LocalEquivScoreModule(
+        (nhwc(z["bigk/imgs28"]), z["bigk/labs28"].astype(np.int32)),
+        kernel_size=27, batch_size=6, schedule=cosine_noise_schedule,
+        use_pallas=True, precision="highest",
+    )
+    mx, rel = dev(mod(t, x28), nhwc(z["bigk/els_k27/out"]))
+    rows.append(("ELS large-d (pallas, highest)", "k=27 28x28", mx, rel, 1e-3))
+
     # module-level 'inbank' routing (CDT_ELS_INBANK_MAX_DP gate, read at
     # trace time): same ELS goldens through the bank-basis accumulation
     prev = os.environ.get("CDT_ELS_INBANK_MAX_DP")
