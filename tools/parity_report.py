@@ -168,6 +168,37 @@ def main():
             schedule=cosine_noise_schedule)(t, jnp.asarray(nhwc(z["big/x"]))),
         z["big/bbels_k7/out"])
 
+    # large-d goldens (b=1 — the reference NaNs at b>1 / large d, see
+    # tools/make_goldens.py "bigk")
+    imgs24 = nhwc(z["bigk/imgs24"])
+    labs24 = z["bigk/labs24"].astype(np.int32)
+    x24 = jnp.asarray(nhwc(z["bigk/x24"])[:1])
+    for k in (13, 19):
+        add("ELS large-d", f"k={k} 24x24",
+            LocalEquivScoreModule((imgs24, labs24), kernel_size=k,
+                                  batch_size=5,
+                                  schedule=cosine_noise_schedule)(t, x24),
+            z[f"bigk/els_k{k}/out"])
+    add("bbELS large-d", "k=13 24x24",
+        LocalEquivBordersScoreModule(
+            (imgs24, labs24), kernel_size=13, batch_size=5,
+            schedule=cosine_noise_schedule)(t, x24),
+        z["bigk/bbels_k13/out"])
+    add("ScheduledScoreMachine large-d", "k 3/13/19 trajectory, 24x24",
+        ScheduledScoreMachine(
+            LocalEquivScoreModule((imgs24, labs24), kernel_size=3,
+                                  batch_size=5,
+                                  schedule=cosine_noise_schedule),
+            in_channels=3, imsize=24,
+            scales=[int(s) for s in z["bigk/machine/scales"]])(x24),
+        z["bigk/machine/out"])
+    add("ELS large-d", "k=27 28x28",
+        LocalEquivScoreModule(
+            (nhwc(z["bigk/imgs28"]), z["bigk/labs28"].astype(np.int32)),
+            kernel_size=27, batch_size=6,
+            schedule=cosine_noise_schedule)(t, jnp.asarray(nhwc(z["bigk/x28"])[:1])),
+        z["bigk/els_k27/out"])
+
     scales = [int(s) for s in z["machine/scales"]]
     add("ScheduledScoreMachine", "ELS backbone, 5 steps",
         ScheduledScoreMachine(
@@ -295,9 +326,18 @@ def main():
         "",
     ]
     path = os.path.join(REPO, "PARITY.md")
+    # preserve the hardware section tools/parity_tpu.py maintains between
+    # its markers — this tool owns only the CPU-golden part above it
+    tpu_section = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        start = old.find("<!-- TPU-MOSAIC-START -->")
+        if start != -1:
+            tpu_section = old[start:]
     with open(path, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {path}: {len(rows)} cases, worst rel dev {worst:.2e}")
+        f.write("\n".join(lines) + tpu_section)
+    print(f"wrote {path}: {len(rows)} cases, worst rel dev {worst:.2e}"
+          + (" (TPU section preserved)" if tpu_section else ""))
 
 
 if __name__ == "__main__":
