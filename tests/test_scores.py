@@ -221,6 +221,65 @@ class TestMachine:
         check(machine(jnp.asarray(x)), z, "machine/bbels/out", atol=5e-4)
 
 
+class TestGrayscale:
+    """c=1 regime goldens (16x16): the MNIST/FashionMNIST workload family —
+    4 of the reference's 10 stored scales files are single-channel — and
+    d = k^2 (not k^2*3) exercises different kernel lane-padding bands
+    (k=7 -> d=49, dp=128). Recorded with the reference's `channels=1` ctor
+    arg (idealscore.py:133,381)."""
+
+    @pytest.fixture(scope="class")
+    def data16(self, z):
+        imgs = np.transpose(z["gray/imgs16"], (0, 2, 3, 1))
+        labs = z["gray/labs16"].astype(np.int32)
+        x = np.transpose(z["gray/x16"], (0, 2, 3, 1))
+        return imgs, labs, x, float(z["t"][0])
+
+    @pytest.mark.parametrize("k", [3, 7])
+    def test_els_gray(self, z, data16, k):
+        imgs, labs, x, t = data16
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=k, batch_size=4,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x), z, f"gray/els_k{k}/out")
+
+    def test_bbels_gray_k5(self, z, data16):
+        imgs, labs, x, t = data16
+        mod = LocalEquivBordersScoreModule(
+            (imgs, labs), kernel_size=5, batch_size=4,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x), z, "gray/bbels_k5/out")
+
+    def test_ls_gray_k3(self, z, data16):
+        imgs, labs, x, t = data16
+        mod = LocalScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=10,
+            schedule=cosine_noise_schedule,
+        )
+        check(mod(t, x), z, "gray/ls_k3/out")
+
+    def test_is_gray(self, z, data16):
+        imgs, labs, x, t = data16
+        mod = IdealScoreModule(
+            (imgs, labs), batch_size=4, schedule=cosine_noise_schedule
+        )
+        check(mod(t, x), z, "gray/is/out")
+
+    def test_machine_gray(self, z, data16):
+        imgs, labs, x, t = data16
+        scales = [int(v) for v in z["gray/machine/scales"]]
+        mod = LocalEquivScoreModule(
+            (imgs, labs), kernel_size=3, batch_size=4,
+            schedule=cosine_noise_schedule,
+        )
+        machine = ScheduledScoreMachine(
+            mod, in_channels=1, imsize=16, scales=scales
+        )
+        check(machine(x), z, "gray/machine/out", atol=5e-4)
+
+
 class TestEvenKernelGuard:
     @pytest.mark.parametrize("cls", [
         LocalScoreModule, LocalEquivScoreModule, LocalEquivBordersScoreModule

@@ -367,6 +367,57 @@ def main():
             ts, x28[:1].clone(), device=dev
         ).numpy()
 
+    # Grayscale (c=1) regime: the MNIST/FashionMNIST workloads — 4 of the
+    # reference's 10 stored scales files are single-channel
+    # (checkpoints/scales_MNIST_*/FashionMNIST_*, BASELINE.md) — and d = k^2
+    # hits different lane-padding bands than k^2*3 (e.g. k=7 -> d=49, dp=128).
+    # All four modules + a machine, reference `channels=1` ctor arg
+    # (idealscore.py:133,381). Fresh explicit RNGs only (see note above).
+    rs5 = np.random.RandomState(29)
+    imgs16 = torch.tensor(
+        rs5.uniform(-1, 1, size=(10, 1, 16, 16)).astype(np.float32)
+    )
+    labs16 = torch.tensor(rs5.randint(0, 3, size=(10,)).astype(np.int64))
+    ds16 = TensorDataset(imgs16, labs16)
+    x16 = torch.randn(1, 1, 16, 16, generator=torch.Generator().manual_seed(8))
+    arrays["gray/imgs16"] = imgs16.numpy()
+    arrays["gray/labs16"] = labs16.numpy()
+    arrays["gray/x16"] = x16.numpy()
+    for k in (3, 7):
+        mod = idealscore.LocalEquivScoreModule(
+            ds16, kernel_size=k, batch_size=4, channels=1,
+            schedule=cosine_noise_schedule,
+        )
+        with torch.no_grad():
+            arrays[f"gray/els_k{k}/out"] = mod(ts, x16.clone(), device=dev).numpy()
+    mod = idealscore.LocalEquivBordersScoreModule(
+        ds16, kernel_size=5, batch_size=4, image_size=16, channels=1,
+        schedule=cosine_noise_schedule,
+    )
+    with torch.no_grad():
+        arrays["gray/bbels_k5/out"] = mod(ts, x16.clone(), device=dev).numpy()
+    mod = idealscore.LocalScoreModule(
+        ds16, kernel_size=3, batch_size=10, schedule=cosine_noise_schedule
+    )
+    with torch.no_grad():
+        arrays["gray/ls_k3/out"] = mod(ts, x16.clone(), device=dev).numpy()
+    mod = idealscore.IdealScoreModule(
+        ds16, batch_size=4, schedule=cosine_noise_schedule, image_size=16
+    )
+    with torch.no_grad():
+        arrays["gray/is/out"] = mod(ts, x16.clone(), device=dev).numpy()
+    scales16 = [3, 5, 7, 5, 3]  # MNIST-style ramp (scales_MNIST_* shape)
+    mod = idealscore.LocalEquivScoreModule(
+        ds16, kernel_size=3, batch_size=4, channels=1,
+        schedule=cosine_noise_schedule,
+    )
+    machine16 = idealscore.ScheduledScoreMachine(
+        mod, in_channels=1, imsize=16, scales=scales16, score_backbone=True
+    )
+    with torch.no_grad():
+        arrays["gray/machine/out"] = machine16(x16.clone(), device=dev).numpy()
+    arrays["gray/machine/scales"] = np.array(scales16)
+
     save("scores", **arrays)
 
 

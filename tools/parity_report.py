@@ -199,6 +199,39 @@ def main():
             schedule=cosine_noise_schedule)(t, jnp.asarray(nhwc(z["bigk/x28"])[:1])),
         z["bigk/els_k27/out"])
 
+    # grayscale (c=1) goldens — the MNIST/FashionMNIST workload family
+    # (4 of the reference's 10 stored scales files are single-channel)
+    imgs16 = nhwc(z["gray/imgs16"])
+    labs16 = z["gray/labs16"].astype(np.int32)
+    x16 = jnp.asarray(nhwc(z["gray/x16"]))
+    for k in (3, 7):
+        add("ELS grayscale", f"k={k} c=1 16x16",
+            LocalEquivScoreModule((imgs16, labs16), kernel_size=k,
+                                  batch_size=4,
+                                  schedule=cosine_noise_schedule)(t, x16),
+            z[f"gray/els_k{k}/out"])
+    add("bbELS grayscale", "k=5 c=1 16x16",
+        LocalEquivBordersScoreModule(
+            (imgs16, labs16), kernel_size=5, batch_size=4,
+            schedule=cosine_noise_schedule)(t, x16),
+        z["gray/bbels_k5/out"])
+    add("LS grayscale", "k=3 c=1 16x16",
+        LocalScoreModule((imgs16, labs16), kernel_size=3, batch_size=10,
+                         schedule=cosine_noise_schedule)(t, x16),
+        z["gray/ls_k3/out"])
+    add("IS grayscale", "c=1 16x16",
+        IdealScoreModule((imgs16, labs16), batch_size=4,
+                         schedule=cosine_noise_schedule)(t, x16),
+        z["gray/is/out"])
+    add("ScheduledScoreMachine grayscale", "ELS backbone, 5 steps, c=1",
+        ScheduledScoreMachine(
+            LocalEquivScoreModule((imgs16, labs16), kernel_size=3,
+                                  batch_size=4,
+                                  schedule=cosine_noise_schedule),
+            in_channels=1, imsize=16,
+            scales=[int(s) for s in z["gray/machine/scales"]])(x16),
+        z["gray/machine/out"])
+
     scales = [int(s) for s in z["machine/scales"]]
     add("ScheduledScoreMachine", "ELS backbone, 5 steps",
         ScheduledScoreMachine(

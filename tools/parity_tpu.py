@@ -185,6 +185,47 @@ def golden_cases(rows):
     mx, rel = dev(mod(t, x28), nhwc(z["bigk/els_k27/out"]))
     rows.append(("ELS large-d (pallas, highest)", "k=27 28x28", mx, rel, 1e-3))
 
+    # grayscale (c=1) goldens: the MNIST/FashionMNIST workload family —
+    # d = k^2 lane-padding bands and a width-1 values stream through the
+    # compiled kernel (tools/make_goldens.py "gray", 16x16 fixtures)
+    xg = jnp.asarray(nhwc(z["gray/x16"]))
+    imgs16 = nhwc(z["gray/imgs16"])
+    labs16 = z["gray/labs16"].astype(np.int32)
+    for precision, tol in (("highest", 1e-3), ("high", 1e-3)):
+        for k in (3, 7):
+            mod = LocalEquivScoreModule(
+                (imgs16, labs16), kernel_size=k, batch_size=4,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision=precision,
+            )
+            mx, rel = dev(mod(t, xg), nhwc(z[f"gray/els_k{k}/out"]))
+            rows.append(
+                (f"ELS grayscale (pallas, {precision})", f"k={k} c=1 16x16",
+                 mx, rel, tol)
+            )
+    bbg = LocalEquivBordersScoreModule(
+        (imgs16, labs16), kernel_size=5, batch_size=4,
+        schedule=cosine_noise_schedule, use_pallas=True, precision="highest",
+    )
+    mx, rel = dev(bbg(t, xg), nhwc(z["gray/bbels_k5/out"]))
+    rows.append(("bbELS grayscale (pallas, highest)", "k=5 c=1", mx, rel, 1e-3))
+    mx, rel = dev(
+        ScheduledScoreMachine(
+            LocalEquivScoreModule(
+                (imgs16, labs16), kernel_size=3, batch_size=4,
+                schedule=cosine_noise_schedule, use_pallas=True,
+                precision="highest",
+            ),
+            in_channels=1, imsize=16,
+            scales=[int(s) for s in z["gray/machine/scales"]],
+        )(xg),
+        nhwc(z["gray/machine/out"]),
+    )
+    rows.append(
+        ("Machine/ELS grayscale (pallas, highest)", "5-step trajectory",
+         mx, rel, 1e-3)
+    )
+
     # module-level 'inbank' routing (CDT_ELS_INBANK_MAX_DP gate, read at
     # trace time): same ELS goldens through the bank-basis accumulation
     prev = os.environ.get("CDT_ELS_INBANK_MAX_DP")
