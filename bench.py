@@ -317,6 +317,18 @@ def main():
         details["train_error"] = repr(e)[:300]
     emit(ddpm_ips)
 
+    # per-chip training CAPACITY: batch 512 is the measured knee of the
+    # batch sweep (tools/measure_train.py — +7.6% over the recipe batch,
+    # b1024 adds only +1.3% more at 2x the latency). The recipe figure
+    # above stays the headline; this is the throughput-optimal point.
+    try:
+        details["train_step_capacity_b512_images_per_sec"] = round(
+            bench_train(batch=512), 1
+        )
+    except Exception as e:  # pragma: no cover
+        details["train_capacity_error"] = repr(e)[:300]
+    emit(ddpm_ips)
+
     # 64x64 UNet sampling (the second flagship config) — also cheap
     try:
         details["ddpm64_unet_1000step_images_per_sec_bf16mxu"] = round(
