@@ -60,6 +60,17 @@ CIFAR10_SCALES = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17,
 # large-d kernel regime); env-gated in the variant list (BENCH_CELEBA64=1)
 # because one machine call is ~20+ min of pure compute at 50k images.
 CELEBA64_SCALES = [3, 3, 3, 3, 3, 3, 3, 5, 5, 5, 5, 5, 7, 7, 9, 9, 9, 13, 19, 27]
+# BASELINE.md MNIST_ResNet_zeros row — the reference's grayscale workload.
+# The reference resizes MNIST to 32x32 (/root/reference/src/utils/data.py:66)
+# so the bank is 60k images x (33-k)^2 positions at c=1 (d = k^2).
+MNIST_SCALES = [3, 3, 5, 5, 5, 7, 7, 7, 9, 9, 11, 11, 11, 11, 13, 15, 15, 15, 15, 15]
+
+# workload token -> (imsize, channels, default bank images, scales)
+ELS_WORKLOADS = {
+    "32": (32, 3, 50000, CIFAR10_SCALES),
+    "64": (64, 3, 50000, CELEBA64_SCALES),
+    "mnist": (32, 1, 60000, MNIST_SCALES),
+}
 
 
 def time_fn(fn, *args, warmup=1, iters=1):
@@ -134,7 +145,7 @@ def bench_ddpm64(batch=32, nsteps=1000, iters=3):
     return batch / dt
 
 
-def _els_machine(kind, n_train, batch_size, precision, imsize=32):
+def _els_machine(kind, n_train, batch_size, precision, workload="32"):
     from convolutional_diffusion_tpu.data import synthetic_dataset
     from convolutional_diffusion_tpu.scores import (
         LocalEquivBordersScoreModule,
@@ -142,33 +153,34 @@ def _els_machine(kind, n_train, batch_size, precision, imsize=32):
         ScheduledScoreMachine,
     )
 
+    imsize, channels, _, scales = ELS_WORKLOADS[workload]
     ds = synthetic_dataset(num_samples=n_train, image_size=imsize,
-                           num_channels=3)
+                           num_channels=channels)
     cls = LocalEquivScoreModule if kind == "ELS" else LocalEquivBordersScoreModule
     mod = cls(
         (ds.images, ds.labels), batch_size=batch_size,
         target_block=int(os.environ.get("BENCH_ELS_BLOCK", 65536)),
         precision=precision,
     )
-    return ScheduledScoreMachine(
-        mod, in_channels=3, imsize=imsize,
-        scales=CELEBA64_SCALES if imsize == 64 else CIFAR10_SCALES,
-    )
+    return ScheduledScoreMachine(mod, in_channels=channels, imsize=imsize,
+                                 scales=scales)
 
 
 def bench_els(kind="ELS", batch=None, n_train=None, precision="highest",
-              imsize=32):
-    """20-step machine over the FULL 50k-image bank with the repo's real
-    CIFAR10 scales (8 distinct kernel sizes) — the reference els_script
+              workload="32"):
+    """20-step machine over the FULL training-set bank with the repo's real
+    calibrated scales (8 distinct kernel sizes) — the reference els_script
     workload (numiters over the whole training set). One warmup machine call
     (pays the 8 per-k jit variants — ~6 min cold on the remote-compile
     tunnel, seconds when the persistent cache is hot) then one timed call on
     `batch` seeds (~minutes of pure compute at this scale; per-call noise is
     negligible over a run this long)."""
+    imsize, channels, n_default, _ = ELS_WORKLOADS[workload]
     batch = batch or int(os.environ.get("BENCH_ELS_BATCH", 8))
-    n_train = n_train or int(os.environ.get("BENCH_ELS_NTRAIN", 50000))
-    machine = _els_machine(kind, n_train, 256, precision, imsize=imsize)
-    x = jax.random.normal(jax.random.PRNGKey(3), (batch, imsize, imsize, 3))
+    n_train = n_train or int(os.environ.get("BENCH_ELS_NTRAIN", n_default))
+    machine = _els_machine(kind, n_train, 256, precision, workload=workload)
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (batch, imsize, imsize, channels))
 
     def run(x):
         return machine(x).sum()
@@ -353,23 +365,27 @@ def main():
     # entries measure per-chip CAPACITY (throughput-optimal seed batch)
     # rather than reference-like batch-8 latency.
     variants = [
-        ("ELS", "highest", 0, 32, "els_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "high", 0, 32, "els_20step_50kbank_images_per_sec_bf16x3"),
-        ("ELS", "high", 32, 32, "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
-        ("bbELS", "highest", 0, 32, "bbels_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "default", 0, 32, "els_20step_50kbank_images_per_sec_fast"),
+        ("ELS", "highest", 0, "32", "els_20step_50kbank_images_per_sec_fp32"),
+        ("ELS", "high", 0, "32", "els_20step_50kbank_images_per_sec_bf16x3"),
+        ("ELS", "high", 32, "32", "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
+        ("bbELS", "highest", 0, "32", "bbels_20step_50kbank_images_per_sec_fp32"),
+        # MNIST_ResNet_zeros workload: 60k-image grayscale bank at 32x32
+        # (the reference resizes MNIST to 32, data.py:66) — c=1 makes d 3x
+        # smaller than CIFAR so the full machine call is cheap (~1 min)
+        ("ELS", "high", 0, "mnist", "els_20step_60kbank_mnist_images_per_sec_bf16x3"),
+        ("ELS", "default", 0, "32", "els_20step_50kbank_images_per_sec_fast"),
         # bbELS per-chip capacity (0.1289 predicted per-k) — last: cheapest
         # to lose to the soft budget
-        ("bbELS", "high", 32, 32, "bbels_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
+        ("bbELS", "high", 32, "32", "bbels_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
     ]
     if os.environ.get("BENCH_CELEBA64"):
         # BASELINE.md CelebA_UNet_zeros workload (64x64, k up to 27):
         # ~25 min of pure compute per machine call at 50k images, so
         # opt-in only — and it needs its own budget headroom.
         variants.append(
-            ("ELS", "high", 0, 64,
+            ("ELS", "high", 0, "64",
              "els64_20step_50kbank_celeba64_images_per_sec_bf16x3"))
-    for kind, precision, batch, imsize, tag in variants:
+    for kind, precision, batch, workload, tag in variants:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 120:
             details[tag + "_skipped"] = "over BENCH_BUDGET_S"
@@ -378,7 +394,7 @@ def main():
         try:
             proc = subprocess.run(
                 [_sys.executable, os.path.abspath(__file__), "--els-only",
-                 kind, precision, str(batch), str(imsize)],
+                 kind, precision, str(batch), workload],
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -400,12 +416,13 @@ if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--els-only":
         # subprocess entry: one ELS/bbELS variant, one JSON line on stdout;
         # argv[4] (optional) overrides the seed batch (0 = default/env),
-        # argv[5] (optional) the image size (64 = the CelebA_UNet workload)
+        # argv[5] (optional) the workload token: "32" (CIFAR10, default),
+        # "64" (CelebA_UNet 64x64), "mnist" (60k grayscale bank at 32x32)
         try:
             b = int(sys.argv[4]) if len(sys.argv) >= 5 else 0
-            isz = int(sys.argv[5]) if len(sys.argv) >= 6 else 32
+            wl = sys.argv[5] if len(sys.argv) >= 6 else "32"
             ips = bench_els(sys.argv[2], batch=b or None,
-                            precision=sys.argv[3], imsize=isz)
+                            precision=sys.argv[3], workload=wl)
             print(json.dumps({"ips": ips}))
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}))

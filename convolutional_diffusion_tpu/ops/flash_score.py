@@ -28,6 +28,7 @@ the patch block with w=0 padding, M to the query block (masked rows).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -54,8 +55,6 @@ def _env_int(name: str) -> int | None:
     the remote TPU without code edits: CDT_FLASH_QCHUNK overrides the
     chunked-path query-chunk rows, CDT_FLASH_BQ_CHUNK its query block,
     CDT_FLASH_BP the patch block wherever the policy would choose)."""
-    import os
-
     val = os.environ.get(name)
     return int(val) if val else None
 
@@ -395,6 +394,10 @@ def flash_score_update(
             else:
                 bp_chunk = 256
         bp_chunk = _env_int("CDT_FLASH_BP") or bp_chunk
+        # (An optimization_barrier on per-chunk outputs was tried to evict
+        # the S(1)-placed carry and unlock bp=1024 here — outputs moved to
+        # HBM but the scoped stack GREW: it is dominated by the kernel's own
+        # operand tiles, not the carry. Offline-AOT, round 3; don't retry.)
         outs = [
             flash_score_update(
                 q[i : i + qchunk], qn[i : i + qchunk], bank, pn, values, w,
