@@ -189,6 +189,50 @@ def bench_els(kind="ELS", batch=None, n_train=None, precision="highest",
     return batch / dt
 
 
+def bench_calibration():
+    """Full README calibration recipe (reference scales_calibration.py:199-206:
+    --kernelsizes 3..17 odd, --nsteps 20, --nsamps 10, maxsamps 5000): one
+    batched-seeds calibrate() call over eight ELS modules sharing one
+    BankLedger — the BASELINE.json north-star redesign (the reference runs
+    10 seeds x 20 steps x 9 sequential full-dataset sweeps). Returns wall
+    seconds for the whole recipe (a time, not a rate: the recipe is a fixed
+    unit of work)."""
+    from convolutional_diffusion_tpu.calibration import calibrate
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.models import DiffusionModel, MinimalResNet
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+    from convolutional_diffusion_tpu.scores.bank import BankLedger
+
+    n = int(os.environ.get("BENCH_CALIB_NTRAIN", 5000))
+    nsamps = int(os.environ.get("BENCH_CALIB_NSAMPS", 10))
+    ds = synthetic_dataset(num_samples=n, image_size=32, num_channels=3)
+    ledger = BankLedger(8 << 30)
+    mods = {
+        k: LocalEquivScoreModule(
+            (ds.images, ds.labels), batch_size=16,
+            schedule=cosine_noise_schedule, bank_ledger=ledger,
+        )
+        for k in (3, 5, 7, 9, 11, 13, 15, 17)
+    }
+    net = MinimalResNet(
+        channels=3, emb_dim=256, num_layers=8, mode="zeros", conditional=False,
+        kernel_size=3, lastksize=3, precision=None,
+    )
+    model = DiffusionModel(net, in_channels=3, default_imsize=32)
+    params = model.init(jax.random.PRNGKey(0), batch_size=1)
+
+    def eps_fn(t, x, label):
+        return model.apply(params, t, x, None)
+
+    t0 = time.perf_counter()
+    calibrate(
+        eps_fn, mods, image_size=32, in_channels=3, nsamps=nsamps, nsteps=20,
+        conditional=False, key=jax.random.PRNGKey(5),
+    )
+    return time.perf_counter() - t0
+
+
 def bench_train(batch=128, iters=20):
     """One flagship training step (fwd+bwd+AdamW), README recipe batch 128."""
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", batch))  # smoke-test knob
@@ -312,6 +356,46 @@ def main():
             details["baseline_source"] = base.get("source", "torch reference")
     emit(ddpm_ips)
 
+    import subprocess
+    import sys as _sys
+
+    def run_subproc(argv_tail, tag, timeout):
+        """One measurement in a bounded subprocess (a wedged compile tunnel
+        must not hang the harness); records `tag` or `tag_error`."""
+        try:
+            proc = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__)] + argv_tail,
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+            sub = json.loads(line)
+            if "value" in sub:
+                details[tag] = round(float(sub["value"]), 4)
+            else:
+                details[tag + "_error"] = sub.get("error", proc.stderr[-300:])
+        except subprocess.TimeoutExpired:
+            details[tag + "_error"] = f"timeout after {timeout:.0f}s"
+        except Exception as e:  # pragma: no cover
+            details[tag + "_error"] = repr(e)[:300]
+        emit(ddpm_ips)
+
+    # PRIORITY: one full-50k analytic-machine number — the framework's
+    # flagship metric (BASELINE.json metric 2, the els_script.py:44
+    # workload). It runs FIRST among the details because the driver's
+    # wall-clock window expired before any ELS variant completed in rounds
+    # 1-3 (BENCH_r03 rc=124 carried DDPM/train keys only). 'high' batch 8
+    # is the cheapest full-bank config (~100 s timed + one warmup call).
+    els_timeout = float(os.environ.get("BENCH_ELS_TIMEOUT_S", 1800))
+    run_subproc(["--els-only", "ELS", "high", "0", "32"],
+                "els_20step_50kbank_images_per_sec_bf16x3", els_timeout)
+
+    # Scales calibration, full README recipe — the BASELINE.json north-star
+    # redesign (~130 s warm; the reference runs 10 seeds x 20 steps x 9
+    # sequential full-dataset sweeps for the same artifact).
+    run_subproc(["--calib-only"], "calibration_full_recipe_seconds",
+                float(os.environ.get("BENCH_CALIB_TIMEOUT_S", 1800)))
+
     # fp32 'highest' — the <1e-3 torch-parity configuration
     try:
         fp32_ips, fp32_tflops = bench_ddpm(precision="highest", iters=3)
@@ -321,8 +405,7 @@ def main():
         details["ddpm_fp32_error"] = repr(e)
     emit(ddpm_ips)
 
-    # training throughput (flagship recipe, batch 128, bf16 MXU) — cheap,
-    # so it runs BEFORE the multi-minute ELS variants
+    # training throughput (flagship recipe, batch 128, bf16 MXU)
     try:
         details["train_step_images_per_sec"] = round(bench_train(), 1)
     except Exception as e:  # pragma: no cover
@@ -350,23 +433,17 @@ def main():
         details["ddpm64_error"] = repr(e)[:300]
     emit(ddpm_ips)
 
-    # Reference-scale analytic machines (50k bank, 20-step CIFAR10 scales).
-    # Each variant runs in a SUBPROCESS with a hard timeout: a cold cache
-    # pays many minutes of remote compiles per variant, and a wedged compile
-    # tunnel must not hang the whole harness. Once over the soft budget the
-    # remaining variants are skipped (noted in details).
-    import subprocess
-    import sys as _sys
-
+    # Remaining reference-scale analytic machines (50k bank, 20-step CIFAR10
+    # scales) — the 'high' b8 headline variant already ran above. Once over
+    # the soft budget the remaining variants are skipped (noted in details).
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
     # ordered by information value: if the budget (or the driver's cap)
-    # truncates the loop, the dropped tail costs the least. The last two
+    # truncates the loop, the dropped tail costs the least. The capacity
     # entries measure per-chip CAPACITY (throughput-optimal seed batch)
     # rather than reference-like batch-8 latency.
     variants = [
         ("ELS", "highest", 0, "32", "els_20step_50kbank_images_per_sec_fp32"),
-        ("ELS", "high", 0, "32", "els_20step_50kbank_images_per_sec_bf16x3"),
         ("ELS", "high", 32, "32", "els_20step_50kbank_capacity_b32_images_per_sec_bf16x3"),
         ("bbELS", "highest", 0, "32", "bbels_20step_50kbank_images_per_sec_fp32"),
         # MNIST_ResNet_zeros workload: 60k-image grayscale bank at 32x32
@@ -391,24 +468,8 @@ def main():
             details[tag + "_skipped"] = "over BENCH_BUDGET_S"
             emit(ddpm_ips)
             continue
-        try:
-            proc = subprocess.run(
-                [_sys.executable, os.path.abspath(__file__), "--els-only",
-                 kind, precision, str(batch), workload],
-                capture_output=True, text=True, timeout=remaining,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
-            sub = json.loads(line)
-            if "ips" in sub:
-                details[tag] = round(float(sub["ips"]), 4)
-            else:
-                details[tag + "_error"] = sub.get("error", proc.stderr[-300:])
-        except subprocess.TimeoutExpired:
-            details[tag + "_error"] = f"timeout after {remaining:.0f}s"
-        except Exception as e:  # pragma: no cover
-            details[tag + "_error"] = repr(e)[:300]
-        emit(ddpm_ips)
+        run_subproc(["--els-only", kind, precision, str(batch), workload],
+                    tag, remaining)
 
 
 if __name__ == "__main__":
@@ -423,7 +484,14 @@ if __name__ == "__main__":
             wl = sys.argv[5] if len(sys.argv) >= 6 else "32"
             ips = bench_els(sys.argv[2], batch=b or None,
                             precision=sys.argv[3], workload=wl)
-            print(json.dumps({"ips": ips}))
+            print(json.dumps({"value": ips}))
+        except Exception as e:
+            print(json.dumps({"error": repr(e)[:300]}))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--calib-only":
+        # subprocess entry: the full README calibration recipe, one JSON
+        # line {"value": <wall seconds>} on stdout
+        try:
+            print(json.dumps({"value": bench_calibration()}))
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}))
     else:

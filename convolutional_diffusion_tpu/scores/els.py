@@ -72,6 +72,16 @@ def _inbank_max_dp(precision: str = "highest") -> int:
     return _INBANK_DEFAULT_MAX_DP.get(precision, 0)
 
 
+def _interpret_flag() -> bool:
+    """CDT_FLASH_INTERPRET=1 (read at trace time) routes the module-level
+    Pallas sweeps through the kernel's interpret mode, which executes on
+    CPU — lets dryrun_multichip exercise the REAL kernel path (not the jnp
+    fallback) on the virtual device mesh without TPU hardware."""
+    import os
+
+    return bool(os.environ.get("CDT_FLASH_INTERPRET"))
+
+
 def els_sweep(
     images_p,  # [n_chunks, cs, h*w*c] — images FLATTENED per chunk: a scan
     # operand with a c=3 minor dim would be layout-canonicalized to T(8,128)
@@ -133,6 +143,7 @@ def els_sweep(
                     # 1/(2 beta) logit scaling amplifies their rounding)
                     precision=precision,
                     fast_exp=(precision == "default"),
+                    interpret=_interpret_flag(),
                     **ib_kw,
                 ),
                 None,
@@ -234,6 +245,7 @@ def banked_sweep(
                     precision=precision,
                     fast_exp=(precision == "default"),
                     rows_per_seed=rows_per_seed if vector else None,
+                    interpret=_interpret_flag(),
                     **ib_kw,
                 ),
                 None,

@@ -24,6 +24,10 @@ n = int(sys.argv[3]) if len(sys.argv) >= 4 else 12500
 
 if bp != "default":
     os.environ["CDT_FLASH_BP"] = bp
+else:
+    # an inherited CDT_FLASH_BP would silently override the policy and
+    # corrupt the baseline this branch exists to capture (ADVICE round 3)
+    os.environ.pop("CDT_FLASH_BP", None)
 
 from tools.measure_round3 import make_module, step_time  # noqa: E402
 
