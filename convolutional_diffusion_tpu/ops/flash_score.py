@@ -381,15 +381,26 @@ def flash_score_update(
             # compile under this cap (aot_check --sweep); env knobs
             # above still win for A/B.
             dp_e = _round_up(d, 128)
-            if dp_e <= 2048:
+            if dp_e <= 1152:
+                # round-4 hardware A/B at k=19 64x64 (tools/ab_k19_bp.py,
+                # n=12500): bp=768 beats the old 512 cap by +7.2% 'high'
+                # (56.74 vs 60.84 s/step) and +2.0% 'highest' (85.64 vs
+                # 87.36); bp=1024 overflows the scoped stack (offline-AOT:
+                # 1.62M 'high' / 176K 'highest').
+                bp_chunk = 768
+            elif dp_e <= 2048:
                 # 'highest' overflows 512-wide K tiles past dp=1152 (k=23:
                 # 17.14M vs the 16M stack, offline-AOT) — its 6-pass split
-                # carries 3x bf16 operand copies per tile.
-                if precision == "highest" and dp_e > 1152:
+                # carries 3x bf16 operand copies per tile. Wider tiles at
+                # this band FAIL AOT for both tiers (640/768 at dp=1664,
+                # round 4) — the k19 widening does not extend here.
+                if precision == "highest":
                     bp_chunk = 256
                 else:
                     bp_chunk = 512
             elif precision == "highest":
+                # 640/768 at dp=2304 overflow by 2.0-9.2M (round-4 AOT):
+                # the dp>2048 caps stand.
                 bp_chunk = 128
             else:
                 bp_chunk = 256
