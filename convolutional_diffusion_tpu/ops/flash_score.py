@@ -63,15 +63,70 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def resolve_blocks(
+    M: int, P: int, d: int, precision: str,
+    v_strategy: str = "vpu",
+) -> Tuple[int, int]:
+    """The (block_q, block_p) the non-chunked kernel path will choose for
+    these shapes (exported so ops.prune mask builders can size the
+    [nQb, nPb] skip matrix without duplicating the policy). Mirrors the
+    default-policy branches of flash_score_update exactly (env overrides
+    CDT_FLASH_BP etc. intentionally included)."""
+    block_q = block_p = None
+    if M > 32768 and 384 <= _round_up(d, 128) < 640:
+        block_q = 256
+    if M > 65536 and 256 <= _round_up(d, 128) < 384:
+        block_q = 256
+    dp_est = _round_up(d, 128)
+    if precision == "highest":
+        if dp_est <= 512:
+            bq_d, bp_d = 256, 2048
+            if v_strategy == "inbank" and dp_est >= 256:
+                bp_d = 1024
+        elif dp_est <= 1152:
+            bq_d, bp_d = 256, 1024
+        elif dp_est <= 2048:
+            bq_d, bp_d = 256, 512
+        else:
+            bq_d, bp_d = 256, 256
+    else:
+        if dp_est <= 384:
+            bq_d, bp_d = 512, 2048
+            if v_strategy == "inbank" and dp_est >= 384:
+                bp_d = 1024
+        elif dp_est <= 896:
+            bq_d, bp_d = 512, 1024
+        elif dp_est <= 1152:
+            bq_d, bp_d = 256, 1024
+        elif dp_est <= 2048:
+            bq_d, bp_d = 512, 512
+        else:
+            bq_d, bp_d = 256, 512
+    if block_q is None:
+        block_q = max(256, min(bq_d, _round_up(M, 256)))
+    block_p = _env_int("CDT_FLASH_BP")
+    if block_p is None:
+        block_p = max(min(512, bp_d), min(bp_d, _round_up(P, 512)))
+    return block_q, block_p
+
+
 def _kernel(
     bias_ref, q_ref, k_ref, *refs,
-    precision, c, v_strategy, fast_exp, s1_fused=False,
+    precision, c, v_strategy, fast_exp, s1_fused=False, prune=False,
 ):
     # Everything stays 2D in natural orientation (m/s1: [BQ, 1] columns;
     # bias: [1, BP] rows) — 1-wide column extractions would force Mosaic
     # sublane<->lane relayouts that blow the VMEM stack.
     from jax.experimental import pallas as pl
 
+    skip_ref = None
+    if prune:
+        # exact block pruning (ops.prune): an SMEM (1,1) skip bit per grid
+        # position; skipped tiles provably underflow to exact fp32 zero, so
+        # the whole body (MXU dot + VPU softmax passes) is gated off. The
+        # tile DMAs still run (the pipeline is unconditional) — the win is
+        # compute, which dominates at the small-k steps this targets.
+        skip_ref, *refs = refs
     if v_strategy == "inbank":
         # no separate values operand: V IS a column slice of the bank, so
         # s2 accumulates in the bank basis as one MXU dot e @ K (the
@@ -88,6 +143,29 @@ def _kernel(
         m_ref[:, :] = m_in[:, :]
         s1_ref[:, :] = s1_in[:, :]
         s2_ref[:, :] = s2_in[:, :]
+
+    if prune:
+        @pl.when(skip_ref[0, 0] == 0)
+        def _():
+            _kernel_body(
+                bias_ref, q_ref, k_ref, v_ref, scale_ref,
+                m_ref, s1_ref, s2_ref,
+                precision=precision, c=c, v_strategy=v_strategy,
+                fast_exp=fast_exp, s1_fused=s1_fused,
+            )
+        return
+    _kernel_body(
+        bias_ref, q_ref, k_ref, v_ref, scale_ref, m_ref, s1_ref, s2_ref,
+        precision=precision, c=c, v_strategy=v_strategy,
+        fast_exp=fast_exp, s1_fused=s1_fused,
+    )
+
+
+def _kernel_body(
+    bias_ref, q_ref, k_ref, v_ref, scale_ref, m_ref, s1_ref, s2_ref,
+    *, precision, c, v_strategy, fast_exp, s1_fused,
+):
+    from jax.experimental import pallas as pl  # noqa: F401
 
     dotscale = scale_ref[0, 0]  # (2 a_t / (2 beta_t^2)) * log2(e)
 
@@ -252,6 +330,7 @@ def flash_score_update(
     fast_exp: bool | None = None,
     rows_per_seed: int | None = None,
     inbank_cols: Tuple[int, int] | None = None,  # (start, c) for 'inbank'
+    prune_mask: jnp.ndarray | None = None,  # int32 [Mp/block_q, Pp/block_p]
 ):
     """One fused bank sweep; returns updated (m, s1, s2) with the finite
     NEG_INF sentinel convention (see state_to_pallas/state_from_pallas).
@@ -305,6 +384,15 @@ def flash_score_update(
         values = None  # V == bank[:, col0:col0+c]; no separate operand
     else:
         c = values.shape[1]
+
+    if prune_mask is not None and (w.ndim == 2 or (
+            M > (_env_int("CDT_FLASH_QCHUNK") or (
+                QCHUNK if _round_up(d, 128) < QCHUNK_BIG_DP else QCHUNK // 2))
+            and _round_up(d, 128) >= QCHUNK_MIN_DP)):
+        raise ValueError(
+            "prune_mask is unsupported on the vector-label and chunked "
+            "paths (ops.prune targets the small-dp banked sweeps)"
+        )
 
     if w.ndim == 2:
         # Per-seed weights [S, P] (one label per seed — batched conditional
@@ -439,53 +527,29 @@ def flash_score_update(
     # is tighter still — its 6-pass MXU emulation carries 3-way bf16
     # operand splits, so at dp>2048 even 256x512 overflows the 16 MB scoped
     # stack by 2.3M (k=27 measured) and the k-tile must drop to 256.
-    dp_est = _round_up(d, 128)
-    if precision == "highest":
-        if dp_est <= 512:
-            bq_d, bp_d = 256, 2048  # k3: 87.7 vs 78.6 @ old 1024x1024
-            if v_strategy == "inbank" and dp_est >= 256:
-                # inbank widens the s2 accumulator/output tiles to a full
-                # 128-lane slab; at dp=256 that tips the scoped stack 116K
-                # over 16M in the chunk scan (offline-AOT) — halve the K
-                # tile for this (roofline-predicted-loss) A/B combination.
-                bp_d = 1024
-        elif dp_est <= 1152:
-            bq_d, bp_d = 256, 1024  # k17: 15.4 vs 14.6; k19: 12.3 vs 11.8
-        elif dp_est <= 2048:
-            bq_d, bp_d = 256, 512  # k23: larger tiles fail VMEM
-        else:
-            bq_d, bp_d = 256, 256  # k27: 256x512 needs 18.3M > 16M scoped
-    else:
-        if dp_est <= 384:
-            bq_d, bp_d = 512, 2048  # k3: 124.9 vs 110.1; k11: 60.0 vs 40.9
-            if v_strategy == "inbank" and dp_est >= 384:
-                # inbank's dp-wide s2 accumulator + the bf16x3 split operand
-                # copies overflow the scoped stack with a 2048-wide K tile
-                # at dp=384 (offline-AOT: 'high' +1.6M, 'default' +976K
-                # over 16M; dp=256 fits and is measured — untouched). A/B
-                # and parity-only territory: the production inbank gate
-                # routes dp<=128.
-                bp_d = 1024
-        elif dp_est <= 896:
-            bq_d, bp_d = 512, 1024  # k13: 44.6 vs 33.2; k17: 26.3 vs 21.6
-        elif dp_est <= 1152:
-            bq_d, bp_d = 256, 1024  # k19: 20.8 vs 18.4
-        elif dp_est <= 2048:
-            bq_d, bp_d = 512, 512  # k23: 14.0 vs 13.3
-        else:
-            bq_d, bp_d = 256, 512  # k27: the one config that fits
+    # (Per-band constants and their measured rationale live in
+    # resolve_blocks above — exported so ops.prune mask builders can size
+    # the skip matrix without duplicating the policy; inbank's narrower
+    # bp bands are VMEM-driven, see the round-3 offline-AOT notes there.)
+    bq_res, bp_res = resolve_blocks(M, P, d, precision, v_strategy)
     if block_q is None:
-        block_q = max(256, min(bq_d, _round_up(M, 256)))
+        block_q = bq_res
     if block_p is None:
-        block_p = _env_int("CDT_FLASH_BP")
-    if block_p is None:
-        # floor 512 except where the policy itself asks for less (dp>2048)
-        block_p = max(min(512, bp_d), min(bp_d, _round_up(P, 512)))
+        block_p = bp_res
 
     Mp = _round_up(M, block_q)
     Pp = _round_up(P, block_p)
     dp = _round_up(d, 128)
     cp = _round_up(c, 128)
+
+    if prune_mask is not None and prune_mask.shape != (
+        Mp // block_q, Pp // block_p
+    ):
+        raise ValueError(
+            f"prune_mask shape {prune_mask.shape} != grid "
+            f"{(Mp // block_q, Pp // block_p)} — size it with "
+            "resolve_blocks()"
+        )
 
     if fast_exp is None:
         fast_exp = precision == "default"
@@ -597,6 +661,12 @@ def flash_score_update(
         pl.BlockSpec((block_p, dp), lambda qi, pj: (pj, 0), memory_space=pltpu.VMEM),
     ]
     operands = [biasp, qp, bankp]
+    if prune_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda qi, pj: (qi, pj),
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(prune_mask.astype(jnp.int32))
     if vp is not None:
         in_specs.append(pl.BlockSpec(v_block, v_index, memory_space=pltpu.VMEM))
         operands.append(vp)
@@ -611,6 +681,7 @@ def flash_score_update(
         functools.partial(
             _kernel, precision=prec, c=c, v_strategy=v_strategy,
             fast_exp=fast_exp, s1_fused=s1_fused,
+            prune=prune_mask is not None,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -95,9 +95,16 @@ class BankCacheMixin:
 
     def _init_bank_cache(self, *, target_block, use_pallas,
                          bank_budget_bytes, bank_ledger,
-                         dispatch_target_s=None):
+                         dispatch_target_s=None, prune=None):
         self.target_block = target_block
         self.use_pallas = use_pallas
+        # exact block pruning (ops.prune): cluster-sorted cached banks +
+        # per-call skip masks. None = env CDT_FLASH_PRUNE (off by default).
+        if prune is None:
+            import os
+
+            prune = bool(os.environ.get("CDT_FLASH_PRUNE"))
+        self.prune = prune
         # per-execution wall-clock target for dispatch segmentation
         # (ops.dispatch; None = env CDT_DISPATCH_TARGET_S or 30 s, <=0 off)
         self.dispatch_target_s = dispatch_target_s
@@ -139,14 +146,94 @@ class BankCacheMixin:
             return self._bank_cache[k]
         n, h, w, c = self.images.shape
         nbytes = bank_nbytes(n, h, w, c, k, self.target_block)
+        prune = getattr(self, "prune", False)
+        if prune:
+            # + per-row img_idx (int32) and the per-block stats (few MB)
+            g = bank_geometry(n, h, w, c, k, self.target_block)
+            nbytes += g.nblk * g.block * 4
         if not self.bank_ledger.try_reserve(nbytes):
             return None
         try:
-            self._bank_cache[k] = build_bank(self.images, k, self.target_block)
+            self._bank_cache[k] = (
+                build_clustered_bank(self.images, k, self.target_block)
+                if prune
+                else build_bank(self.images, k, self.target_block)
+            )
         except Exception:
             self.bank_ledger.release(nbytes)  # failed build must not starve
             raise                             # retries / ledger siblings
         return self._bank_cache[k]
+
+
+class ClusteredBank(NamedTuple):
+    """A cached bank in cluster-sorted patch order, plus the pruning
+    geometry (ops.prune): any bank permutation is mathematically a no-op
+    for the softmax sums — per-patch weights follow through `img_idx` —
+    but coherent blocks make the triangle-inequality block bounds tight."""
+
+    bank: jnp.ndarray  # [nblk, B*d] (cluster-sorted rows)
+    centers: jnp.ndarray  # [nblk, B*c]
+    pn: jnp.ndarray  # [nblk, B]
+    img_idx: jnp.ndarray  # [nblk, B] int32 source-image index per row
+    stats: object  # ops.prune.BankBlockStats at PRUNE_BLOCK granularity
+
+
+def build_clustered_bank(
+    images: jnp.ndarray, k: int, target_block: int, *,
+    n_centers: int = 4096, sample_size: int = 1 << 18, kmeans_iters: int = 8,
+) -> ClusteredBank:
+    """build_bank + k-means patch clustering + stable sort by cluster id +
+    per-kernel-block (centroid, radius) stats. One-time cost per (k,
+    dataset): one bank build, one assignment sweep (~J/PRUNE_BLOCK of a
+    score sweep's pair work), one argsort + gather."""
+    from ..ops.prune import (
+        PRUNE_BLOCK,
+        assign_clusters,
+        block_stats,
+        gather_rows,
+        kmeans_centers,
+        permute_bank,
+    )
+
+    n, h, w, c = images.shape
+    g = bank_geometry(n, h, w, c, k, target_block)
+    bank, _, _ = build_bank(images, k, target_block)
+    total = g.nblk * g.block
+    n_real = n * g.per_img  # rows from real (non-pad) images
+
+    # k-means on an evenly strided subsample of the REAL rows
+    S = min(sample_size, n_real)
+    sample_ids = jnp.linspace(0, n_real - 1, S).astype(jnp.int32)
+    # real rows are a prefix only before padding; map prefix id -> layout id
+    # (layout is image-major within chunks of cs images; real images fill
+    # the first n slots, so prefix id == layout id until the pad chunk)
+    sample = gather_rows(bank, sample_ids, g.d)
+    centers = kmeans_centers(sample, n_centers, iters=kmeans_iters)
+    ids = assign_clusters(bank, centers, g.block, g.d)  # [nblk, B]
+    # pad-image rows (zero patches) sort wherever their cluster lands; their
+    # weights are always zero and `row_valid` excludes them from stats
+    perm = jnp.argsort(ids.reshape(-1), stable=True).astype(jnp.int32)
+    bank_c = permute_bank(bank, perm, g.block, g.d)
+    src_img = (perm // g.block) * g.cs + (perm % g.block) // g.per_img
+    img_idx = src_img.astype(jnp.int32).reshape(g.nblk, g.block)
+    del bank
+
+    @jax.jit
+    def derive(bank_c):
+        def one(row):
+            p = row.reshape(g.block, g.d)
+            return (
+                patch_centers(p, k, c).reshape(g.block * c),
+                jnp.sum(p * p, axis=-1),
+            )
+
+        return jax.lax.map(one, bank_c)
+
+    centers_c, pn_c = derive(bank_c)
+    row_valid = img_idx < n
+    stats = block_stats(bank_c, row_valid, g.block, g.d, block=PRUNE_BLOCK)
+    return ClusteredBank(bank_c, centers_c, pn_c, img_idx,
+                         jax.tree_util.tree_map(jnp.asarray, stats))
 
 
 def build_bank(images: jnp.ndarray, k: int, target_block: int):

@@ -71,6 +71,10 @@ class LocalEquivBordersScoreModule(BankCacheMixin, ScoreModuleBase):
             target_block=target_block, use_pallas=use_pallas,
             bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
             dispatch_target_s=dispatch_target_s,
+            # pruning (ops.prune) is wired for the ELS bank mode only; the
+            # bbELS region sweeps keep plain banks regardless of the env
+            # gate (its center bank shares _bank with this flag)
+            prune=False,
         )
         self._local_fallback_cache = None
 

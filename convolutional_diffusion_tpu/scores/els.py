@@ -207,6 +207,9 @@ def banked_sweep(
     inbank_col: int | None = None,  # centers == bank[:, col:col+c] (ELS/bbELS
     # center banks) — enables the kernel's 'inbank' strategy under the
     # CDT_ELS_INBANK_MAX_DP gate, dropping the centers stream entirely
+    masks=None,  # [nblk, nQb, nPb] int32 per-chunk exact-skip tiles
+    # (ops.prune; clustered banks only). Applied on the pallas path; the
+    # jnp fallback ignores them — pruning is exact, so results agree.
 ):
     """Scan prebuilt bank chunks through the online softmax; returns
     (s1 [M], s2 [M, c]) — or (m, s1, s2) with return_m, so dispatch
@@ -237,7 +240,11 @@ def banked_sweep(
         )
 
         def step(state, blk):
-            kb, vb, pnb, wb = blk
+            if masks is None:
+                kb, vb, pnb, wb = blk
+                mk = None
+            else:
+                kb, vb, pnb, wb, mk = blk
             return (
                 flash_score_update(
                     q_flat, qn_flat, kb.reshape(B, d), pnb,
@@ -246,6 +253,7 @@ def banked_sweep(
                     fast_exp=(precision == "default"),
                     rows_per_seed=rows_per_seed if vector else None,
                     interpret=_interpret_flag(),
+                    prune_mask=mk,
                     **ib_kw,
                 ),
                 None,
@@ -264,6 +272,8 @@ def banked_sweep(
             if inbank
             else (bank, centers, pn, w_b)
         )
+        if masks is not None:
+            xs = xs + (masks,)
         state, _ = jax.lax.scan(step, state_to_pallas(*state0), xs)
         m, s1, s2 = state_from_pallas(*state)
         return (m, s1, s2) if return_m else (s1, s2)
@@ -316,6 +326,9 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         bank_budget_bytes: int = 8 << 30,
         bank_ledger=None,
         dispatch_target_s: float | None = None,
+        prune: bool | None = None,  # exact block pruning for cached banks
+        # (ops.prune): clustered bank layout + per-call skip masks. None =
+        # env CDT_FLASH_PRUNE; off by default.
         **kw,
     ):
         super().__init__(dataset, batch_size=batch_size, **kw)
@@ -338,7 +351,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         self._init_bank_cache(
             target_block=target_block, use_pallas=use_pallas,
             bank_budget_bytes=bank_budget_bytes, bank_ledger=bank_ledger,
-            dispatch_target_s=dispatch_target_s,
+            dispatch_target_s=dispatch_target_s, prune=prune,
         )
 
     def _build_bank_mode(self, *, k: int, x_shape, has_label: bool,
@@ -371,10 +384,36 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         hw = h * w
         M = b * hw
 
-        def build_inputs(labels, order, x, lab):
+        # exact block pruning (ops.prune): clustered cached banks carry
+        # per-row image indices (weights follow the permutation) and
+        # per-kernel-block stats; per call a skip-mask marks tiles whose
+        # posterior weights provably underflow to exact fp32 zero.
+        clustered = getattr(self, "prune", False)
+        mask_idx = None
+        if clustered and use_pallas and not vector_label \
+                and self.precision in ("high", "highest") \
+                and -(-d // 128) * 128 > _inbank_max_dp(self.precision):
+            from ..ops.flash_score import resolve_blocks
+            from ..ops.prune import PRUNE_BLOCK
+
+            bq_k, bp_k = resolve_blocks(M, B, d, self.precision, "vpu")
+            if M % bq_k == 0 and PRUNE_BLOCK % bp_k == 0:
+                import numpy as np
+
+                npb_kernel = -(-B // bp_k)
+                # kernel block j of each chunk sits inside stats block
+                # (j*bp)//PRUNE_BLOCK (bp divides PRUNE_BLOCK, grids share
+                # origin 0 — no straddle)
+                mask_idx = np.array(
+                    [(j * bp_k) // PRUNE_BLOCK for j in range(npb_kernel)]
+                )
+
+        def build_inputs(labels, order, x, lab, img_idx=None):
             """Bank weights + flattened queries — the SINGLE source for both
             the one-shot fn and the segmented prep jit (the two dispatch
-            paths must stay bit-identical; ops.dispatch tests pin it)."""
+            paths must stay bit-identical; ops.dispatch tests pin it).
+            img_idx (clustered banks): per-row source-image index — weights
+            gather through it instead of the image-major repeat."""
 
             def weights_for(one_lab):
                 w_img = image_weights(
@@ -391,6 +430,8 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                     w_img = jnp.concatenate(
                         [w_img, jnp.zeros((pad_img,), w_img.dtype)]
                     )
+                if img_idx is not None:
+                    return w_img[img_idx.reshape(-1)]  # [nblk * B] permuted
                 return jnp.repeat(w_img, per_img)  # [nblk * B]
 
             if vector_label:
@@ -403,11 +444,31 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             qn_flat = jnp.sum(xq_flat**2, axis=-1)
             return w_b, xq_flat, qn_flat
 
-        def fn(bank, centers, pn, labels, order, x, lab, at, bt):
+        def build_masks(w_b, xq_flat, qn_flat, at, bt, stats):
+            """[nblk, M/bq, npb_kernel] int32 skip tiles (see ops.prune)."""
+            from ..ops.prune import logw_block_stats, prune_masks
+
+            lmax, lmin, anyinc = logw_block_stats(w_b, B)
+            mk = prune_masks(
+                xq_flat, qn_flat, at, bt, stats, lmax, lmin, anyinc,
+                block_q=bq_k,
+            )  # [M/bq, J]
+            mk = mk.reshape(M // bq_k, g.nblk, -1)[:, :, mask_idx]
+            return mk.transpose(1, 0, 2)
+
+        def fn(bank, centers, pn, labels, order, x, lab, at, bt,
+               img_idx=None, stats=None):
             # bank/centers/pn arrive in the compact chunked layout
             # ([nblk, B*d] etc. — see scores.bank); each scan step below
             # reshapes its own block back to [B, d] (a transient small copy)
-            w_b, xq_flat, qn_flat = build_inputs(labels, order, x, lab)
+            w_b, xq_flat, qn_flat = build_inputs(
+                labels, order, x, lab, img_idx=img_idx
+            )
+            masks = (
+                build_masks(w_b, xq_flat, qn_flat, at, bt, stats)
+                if mask_idx is not None and stats is not None
+                else None
+            )
 
             s1_, s2_ = banked_sweep(
                 xq_flat, qn_flat, bank, centers, pn, w_b, at, bt,
@@ -415,6 +476,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
                 precision=self.precision,
                 rows_per_seed=hw if vector_label else None,
                 inbank_col=center_index(k, c).start,
+                masks=masks,
             )
 
             mean_center = (s2_ / s1_[:, None]).reshape(b, h * w, c)
@@ -422,7 +484,7 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             return score.reshape(x.shape)
 
         if n_seg == 1:
-            return jax.jit(fn)
+            return jax.jit(fn, static_argnames=())
 
         # --- segmented dispatch (n_seg > 1): the sweep splits into n_seg
         # back-to-back executions over nblk slices, softmax state carried on
@@ -436,17 +498,36 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
         qsz = -(-g.nblk // n_seg)
         edges = list(range(0, g.nblk, qsz)) + [g.nblk]
 
-        prep = jax.jit(build_inputs)
-
         @jax.jit
-        def seg(bank_s, centers_s, pn_s, w_s, xq_flat, qn_flat, at, bt, state):
-            return banked_sweep(
-                xq_flat, qn_flat, bank_s, centers_s, pn_s, w_s, at, bt,
-                B=B, d=d, c=c, use_pallas=use_pallas, precision=precision,
-                rows_per_seed=hw if vector_label else None,
-                state0=state, return_m=True,
-                inbank_col=center_index(k, c).start,
+        def prep(labels, order, x, lab, img_idx=None, stats=None, at=None,
+                 bt=None):
+            w_b, xq_flat, qn_flat = build_inputs(
+                labels, order, x, lab, img_idx=img_idx
             )
+            masks = (
+                build_masks(w_b, xq_flat, qn_flat, at, bt, stats)
+                if mask_idx is not None and stats is not None
+                else None
+            )
+            return w_b, xq_flat, qn_flat, masks
+
+        def make_seg(with_masks):
+            @jax.jit
+            def seg(bank_s, centers_s, pn_s, w_s, masks_s, xq_flat, qn_flat,
+                    at, bt, state):
+                return banked_sweep(
+                    xq_flat, qn_flat, bank_s, centers_s, pn_s, w_s, at, bt,
+                    B=B, d=d, c=c, use_pallas=use_pallas, precision=precision,
+                    rows_per_seed=hw if vector_label else None,
+                    state0=state, return_m=True,
+                    inbank_col=center_index(k, c).start,
+                    masks=masks_s if with_masks else None,
+                )
+
+            return seg
+
+        seg_plain = make_seg(False)
+        seg_masked = make_seg(True)
 
         @jax.jit
         def finish(s1_, s2_, x, at, bt):
@@ -454,18 +535,28 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             score = -(x.reshape(b, hw, c) - at * mean_center) / (bt**2)
             return score.reshape(x.shape)
 
-        def host_fn(bank, centers, pn, labels, order, x, lab, at, bt):
-            w_b, xq_flat, qn_flat = prep(labels, order, x, lab)
+        def host_fn(bank, centers, pn, labels, order, x, lab, at, bt,
+                    img_idx=None, stats=None):
+            w_b, xq_flat, qn_flat, masks = prep(
+                labels, order, x, lab, img_idx=img_idx, stats=stats,
+                at=at, bt=bt,
+            )
             state = (
                 jnp.full((M,), -jnp.inf, jnp.float32),
                 jnp.zeros((M,), jnp.float32),
                 jnp.zeros((M, c), jnp.float32),
             )
             for i0, i1 in zip(edges[:-1], edges[1:]):
-                state = seg(
-                    bank[i0:i1], centers[i0:i1], pn[i0:i1], w_b[i0:i1],
-                    xq_flat, qn_flat, at, bt, state,
-                )
+                if masks is None:
+                    state = seg_plain(
+                        bank[i0:i1], centers[i0:i1], pn[i0:i1], w_b[i0:i1],
+                        None, xq_flat, qn_flat, at, bt, state,
+                    )
+                else:
+                    state = seg_masked(
+                        bank[i0:i1], centers[i0:i1], pn[i0:i1], w_b[i0:i1],
+                        masks[i0:i1], xq_flat, qn_flat, at, bt, state,
+                    )
             return finish(state[1], state[2], x, at, bt)
 
         return host_fn
@@ -529,6 +620,14 @@ class LocalEquivScoreModule(BankCacheMixin, ScoreModuleBase):
             lab = jnp.asarray(label, jnp.int32)
         else:
             lab = jnp.asarray(label if has_label else -1, jnp.int32)
+        from .bank import ClusteredBank
+
+        if isinstance(bank, ClusteredBank):
+            return self._jit_cache[key](
+                bank.bank, bank.centers, bank.pn, self.labels,
+                self._stream_order(order), x, lab, at, bt,
+                img_idx=bank.img_idx, stats=bank.stats,
+            )
         return self._jit_cache[key](
             *bank, self.labels, self._stream_order(order), x, lab, at, bt
         )
