@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Hardware A/B for exact block pruning (ops.prune; VERDICT r3 item 4).
+
+Times one k=3 (and k=5 at a bank-fits scale) machine step with the cached
+bank clustered+masked vs plain, at the LOW-noise timesteps where the
+machine actually uses those kernel sizes (CIFAR10 scales: k=3 at i=1..3,
+t = 0.05/0.10/0.15; k=5 at i=4..6). Queries are drawn from the forward
+marginal at t (x = a_t img + b_t eps over held-out synthetic images) — the
+distribution the reverse machine sees at that step, which is what decides
+the skip rate; pure-noise queries would be unrepresentative.
+
+Also records the measured mask skip fraction per t and the one-time
+clustered-bank build cost. Results append to tools/measure_prune_out.json.
+
+Usage: python tools/measure_prune.py [stage ...]
+Stages: ab_k3 (50k), ab_k5 (20k), skipfrac, e2e_fp32 (full 20-step pruned
+machine vs the round-3 baseline 0.0766 b8 / capacity b32)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+OUT_PATH = os.path.join(REPO, "tools", "measure_prune_out.json")
+OUT = {}
+if os.path.exists(OUT_PATH):
+    with open(OUT_PATH) as f:
+        OUT = json.load(f)
+
+CIFAR10_SCALES = [3, 3, 3, 3, 5, 5, 5, 7, 7, 7, 7, 9, 9, 11, 11, 13, 15, 17, 17, 17]
+# machine step timesteps per k (steps i=19..1 use scales[i], t=i/20)
+K_STEPS = {3: (0.05, 0.10, 0.15), 5: (0.20, 0.25, 0.30)}
+
+
+def flush():
+    with open(OUT_PATH, "w") as f:
+        json.dump(OUT, f, indent=1)
+    print(json.dumps({k: v for k, v in OUT.items() if not isinstance(v, dict)}),
+          flush=True)
+
+
+def fence(fn, *a, iters=1, warmup=1):
+    for _ in range(warmup):
+        jax.device_get(fn(*a))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.device_get(fn(*a))
+    return (time.perf_counter() - t0) / iters
+
+
+def make_module(n, *, precision, prune, imsize=32, budget=8 << 30):
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+
+    ds = synthetic_dataset(num_samples=n, image_size=imsize, num_channels=3)
+    return LocalEquivScoreModule(
+        (ds.images, ds.labels), batch_size=256, precision=precision,
+        prune=prune, bank_budget_bytes=budget,
+    )
+
+
+def marginal_x(t, batch, imsize=32, seed=99):
+    """x ~ forward marginal at t over HELD-OUT synthetic images (seed
+    differs from the bank's), like the reverse machine's state at step t."""
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+
+    ds = synthetic_dataset(num_samples=batch, image_size=imsize, seed=seed)
+    beta = cosine_noise_schedule(jnp.float32(t))
+    eps = jax.random.normal(
+        jax.random.PRNGKey(seed + int(t * 1000)),
+        (batch, imsize, imsize, 3),
+    )
+    return jnp.sqrt(1.0 - beta) * jnp.asarray(ds.images) + jnp.sqrt(beta) * eps
+
+
+def ab(k, n, precisions=("highest", "high"), batch=8):
+    res = OUT.setdefault(f"ab_k{k}_n{n}", {})
+    for prune in (False, True):
+        for precision in precisions:
+            tag = "pruned" if prune else "plain"
+            t_build0 = time.perf_counter()
+            mod = make_module(n, precision=precision, prune=prune)
+            # force the bank build (and clustering) outside the timed steps
+            jax.block_until_ready(mod._bank(k).bank if prune
+                                  else mod._bank(k)[0])
+            build_s = time.perf_counter() - t_build0
+            res[f"{precision}/{tag}/bank_build_s"] = round(build_s, 1)
+            for t in K_STEPS[k]:
+                key = f"{precision}/{tag}/t{t:.2f}"
+                if key in res:
+                    continue
+                x = marginal_x(t, batch)
+
+                def run(x):
+                    return jnp.sum(mod(t, x, k=k))
+
+                dt = fence(run, x)
+                res[key] = {"sec": round(dt, 3)}
+                flush()
+            tot_plain = sum(
+                res[f"{precision}/plain/t{t:.2f}"]["sec"] for t in K_STEPS[k]
+            ) if all(f"{precision}/plain/t{t:.2f}" in res
+                     for t in K_STEPS[k]) else None
+            if prune and tot_plain:
+                tot_pruned = sum(
+                    res[f"{precision}/pruned/t{t:.2f}"]["sec"]
+                    for t in K_STEPS[k]
+                )
+                res[f"{precision}/speedup"] = round(tot_plain / tot_pruned, 3)
+                flush()
+            del mod
+
+
+def stage_ab_k3():
+    ab(3, 50000)
+
+
+def stage_ab_k5():
+    # the 50k k=5 bank (12.4 GB) exceeds the ledger — measure at a
+    # bank-fits scale; the chunk-scan structure matches, rates transfer
+    ab(5, 20000)
+
+
+def stage_skipfrac(n=50000, k=3, batch=8):
+    """Measured mask skip fraction per t (the quantity the A/B rides on)."""
+    from convolutional_diffusion_tpu.ops.flash_score import resolve_blocks
+    from convolutional_diffusion_tpu.ops.prune import (
+        logw_block_stats,
+        prune_masks,
+    )
+    from convolutional_diffusion_tpu.ops.patches import extract_patches, pad_image
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+    from convolutional_diffusion_tpu.scores.bank import bank_geometry
+
+    res = OUT.setdefault(f"skipfrac_k{k}_n{n}", {})
+    mod = make_module(n, precision="highest", prune=True)
+    cb = mod._bank(k)
+    g = bank_geometry(n, 32, 32, 3, k, mod.target_block)
+    w_img = jnp.full((g.nblk * g.cs,), 1.0, jnp.float32).at[n:].set(0.0)
+    w_img = w_img / jnp.sum(w_img) / g.per_img  # uniform-ish; U/L use log2
+    w_b = w_img[cb.img_idx.reshape(-1)].reshape(g.nblk, g.block)
+    lmax, lmin, anyinc = logw_block_stats(w_b, g.block)
+    M = batch * 32 * 32
+    bq, _ = resolve_blocks(M, g.block, g.d, "highest", "vpu")
+    for t in (0.05, 0.10, 0.15, 0.20, 0.30, 0.50):
+        key = f"t{t:.2f}"
+        if key in res:
+            continue
+        x = marginal_x(t, batch)
+        beta = cosine_noise_schedule(jnp.float32(t))
+        at, bt = jnp.sqrt(1.0 - beta), jnp.sqrt(beta)
+        xq = extract_patches(pad_image(x, k // 2, "circular"), k).reshape(M, g.d)
+        qn = jnp.sum(xq**2, axis=-1)
+        mk = prune_masks(xq, qn, at, bt, cb.stats, lmax, lmin, anyinc,
+                         block_q=bq)
+        res[key] = round(float(jnp.mean(mk.astype(jnp.float32))), 4)
+        flush()
+
+
+def stage_e2e_fp32(n=50000, batch=8):
+    """Full 20-step machine, pruned, fp32 — against the round-3 plain
+    baselines (b8 0.0766 / b32-capacity 0.0833 img/s)."""
+    from convolutional_diffusion_tpu.scores import ScheduledScoreMachine
+
+    res = OUT.setdefault("e2e", {})
+    for precision, batches in (("highest", (8, 32)), ("high", (8,))):
+        mod = make_module(n, precision=precision, prune=True)
+        machine = ScheduledScoreMachine(
+            mod, in_channels=3, imsize=32, scales=CIFAR10_SCALES
+        )
+        for b in batches:
+            key = f"{precision}/b{b}_pruned_machine_ips"
+            if key in res:
+                continue
+            x = jax.random.normal(jax.random.PRNGKey(3), (b, 32, 32, 3))
+
+            def run(x):
+                return machine(x).sum()
+
+            # warmup pays the clustered-bank build + compiles, like the
+            # plain baselines did
+            dt = fence(run, x, warmup=1)
+            res[key] = round(b / dt, 4)
+            flush()
+        del mod
+
+
+STAGES = {
+    "ab_k3": stage_ab_k3,
+    "ab_k5": stage_ab_k5,
+    "skipfrac": stage_skipfrac,
+    "e2e_fp32": stage_e2e_fp32,
+}
+
+if __name__ == "__main__":
+    for name in sys.argv[1:] or ["skipfrac", "ab_k3"]:
+        print(f"=== stage {name} ===", flush=True)
+        t0 = time.time()
+        STAGES[name]()
+        print(f"=== stage {name} done in {time.time()-t0:.0f}s ===", flush=True)
