@@ -369,6 +369,73 @@ def grid_cases(rows, d=75, configs=None, P_pair=None, M=1100):
         )
 
 
+def prune_cases(rows, M=2048, P=200_000, d=27):
+    """Exact block pruning on the REAL Mosaic path: a clustered bank whose
+    skip masks fire hard, pruned vs unpruned kernel on identical inputs.
+    The contract is bit-equality up to sub-ulp accumulation residue
+    (ops.prune docstring); tol 1e-6 on the posterior mean."""
+    import jax.numpy as jnp
+
+    from convolutional_diffusion_tpu.ops import prune as pr
+    from convolutional_diffusion_tpu.ops.flash_score import (
+        flash_score_update,
+        resolve_blocks,
+        state_from_pallas,
+        state_to_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    c = 3
+    means = rng.standard_normal((16, d)).astype(np.float32) * 2.0
+    cid = np.sort(rng.integers(0, 16, P))
+    bank = (means[cid] + 0.15 * rng.standard_normal((P, d))).astype(np.float32)
+    qcid = np.repeat(rng.integers(0, 16, M // 256), 256)
+    q = (means[qcid] + 0.1 * rng.standard_normal((M, d))).astype(np.float32)
+    w = np.full((P,), 1.0 / P, np.float32)
+    at, bt = jnp.float32(0.99), jnp.float32(0.08)
+    qj, bj = jnp.asarray(q), jnp.asarray(bank)
+    qn = jnp.sum(qj**2, axis=1)
+    pn = jnp.sum(bj**2, axis=1)
+    vals = bj[:, 12 * c : 12 * c + c] if d == 75 else bj[:, :c]
+
+    for precision in ("highest", "high"):
+        bq, bp = resolve_blocks(M, P, d, precision, "vpu")
+        Pp = -(-P // bp) * bp
+        stats = pr.block_stats(
+            jnp.asarray(np.pad(bank, ((0, Pp - P), (0, 0))).reshape(1, -1)),
+            jnp.asarray(np.arange(Pp) < P).reshape(1, Pp),
+            Pp, d, block=bp,
+        )
+        lmax, lmin, anyinc = pr.logw_block_stats(
+            jnp.asarray(np.pad(w, (0, Pp - P)).reshape(1, Pp)), Pp, block=bp
+        )
+        mask = pr.prune_masks(qj, qn, at, bt, stats, lmax, lmin, anyinc,
+                              block_q=bq)
+        frac = float(jnp.mean(mask.astype(jnp.float32)))
+        state0 = state_to_pallas(
+            jnp.full((M,), -jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.float32),
+            jnp.zeros((M, c), jnp.float32),
+        )
+        outs = {}
+        for mk in (None, mask):
+            st = flash_score_update(
+                qj, qn, bj, pn, vals, jnp.asarray(w), at, bt, state0,
+                precision=precision, v_strategy="vpu", prune_mask=mk,
+            )
+            _, s1, s2 = state_from_pallas(*st)
+            outs["pruned" if mk is not None else "plain"] = (
+                np.asarray(s2) / np.asarray(s1)[:, None]
+            )
+        mx, rel = dev(outs["pruned"], outs["plain"])
+        rows.append(
+            (
+                f"Prune kernel (M={M}, P={P}, d={d}, skip {frac:.0%})",
+                f"{precision}/pruned-vs-plain", mx, rel, 1e-6,
+            )
+        )
+
+
 def write_section(rows, backend, elapsed):
     lines = [
         SECTION_START,
@@ -460,6 +527,7 @@ def main():
     # (dp=1152) and bp=256/128 ('high'/'highest' at dp=2304)
     grid_cases(rows, d=1083, configs=bigd, P_pair=(6_001, 4_000), M=16384)
     grid_cases(rows, d=2187, configs=bigd, P_pair=(6_001, 4_000), M=16384)
+    prune_cases(rows)
     golden_cases(rows)
     elapsed = time.time() - t0
     if backend == "cpu":
