@@ -79,33 +79,46 @@ class BankBlockStats(NamedTuple):
 
 
 def kmeans_centers(sample: jnp.ndarray, n_centers: int, *, iters: int = 8,
-                   key=None) -> jnp.ndarray:
+                   key=None, chunk: int = 16384) -> jnp.ndarray:
     """Plain Lloyd k-means on a patch subsample (MXU distance argmin per
     iteration). Initialization: evenly strided sample rows — the sample is
     image-ordered, so strides land on distinct images; empty clusters keep
-    their previous center."""
+    their previous center. Memory-bounded: the [S, J] distance matrix and
+    the center update are both chunked over S (a one-hot [S, J] matmul at
+    S=256k/J=4k would be a 4.3 GB transient — it OOM'd the 50k build next
+    to two bank copies), accumulating per-cluster sums via segment_sum."""
     S, d = sample.shape
     idx = jnp.linspace(0, S - 1, n_centers).astype(jnp.int32)
     centers = sample[idx]
-    sn = jnp.sum(sample * sample, axis=1)
+    pad = (-S) % chunk
+    sample_c = jnp.concatenate(
+        [sample, jnp.zeros((pad, d), sample.dtype)]
+    ).reshape(-1, chunk, d)
+    nch = sample_c.shape[0]
+    rowid = (jnp.arange(nch * chunk) < S).reshape(nch, chunk)
 
     def step(centers, _):
         cn = jnp.sum(centers * centers, axis=1)
-        # assign: argmin ||s - c||^2 = argmin cn - 2 s.c
-        a = jnp.argmin(
-            cn[None, :] - 2.0 * (sample @ centers.T), axis=1
-        )  # [S]
-        one = jax.nn.one_hot(a, n_centers, dtype=jnp.float32)  # [S, J]
-        counts = jnp.sum(one, axis=0)  # [J]
-        sums = one.T @ sample  # [J, d]
+
+        def one(args):
+            sc, ok = args
+            a = jnp.argmin(cn[None, :] - 2.0 * (sc @ centers.T), axis=1)
+            a = jnp.where(ok, a, n_centers)  # pad rows -> overflow bucket
+            sums = jax.ops.segment_sum(sc, a, num_segments=n_centers + 1)
+            cnts = jax.ops.segment_sum(
+                jnp.ones((chunk,), jnp.float32), a, num_segments=n_centers + 1
+            )
+            return sums[:n_centers], cnts[:n_centers]
+
+        sums, cnts = jax.lax.map(one, (sample_c, rowid))
+        sums, cnts = jnp.sum(sums, axis=0), jnp.sum(cnts, axis=0)
         new = jnp.where(
-            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None],
+            cnts[:, None] > 0, sums / jnp.maximum(cnts, 1.0)[:, None],
             centers,
         )
         return new, None
 
     centers, _ = jax.lax.scan(step, centers, None, length=iters)
-    del sn
     return centers
 
 

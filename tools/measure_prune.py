@@ -196,11 +196,92 @@ def stage_e2e_fp32(n=50000, batch=8):
         del mod
 
 
+def stage_radii(n=50000, k=3):
+    """Cluster-radius distribution of the 50k bank — the quantity that
+    decides whether the triangle-inequality window can ever fire: the
+    bound slack is ~2 a_t r (dist_lo + dist_best), vs the exact-underflow
+    window thr / (inv2bt2 log2e) in dist^2 units (1.28 at t=0.05)."""
+    res = OUT.setdefault(f"radii_k{k}_n{n}", {})
+    if "p50" in res:
+        return
+    mod = make_module(n, precision="highest", prune=True)
+    cb = mod._bank(k)
+    rad = jnp.where(cb.stats.valid, cb.stats.radii, jnp.nan)
+    import numpy as np
+
+    r = np.asarray(rad)
+    r = r[~np.isnan(r)]
+    for q in (5, 25, 50, 75, 95):
+        res[f"p{q}"] = round(float(np.percentile(r, q)), 3)
+    res["n_blocks"] = int(r.size)
+    # irreducible floor: per-patch iid noise norm (sigma=0.3/channel at
+    # d=27 -> ~1.56) — cluster members can never be closer than their own
+    # noise draws
+    flush()
+
+
+def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
+    """Supplementary: the same A/B on a LOW-noise synthetic bank (patches
+    cluster below the window) — isolates the mechanism from the workload's
+    data distribution."""
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+
+    res = OUT.setdefault(f"lownoise_k{k}_sigma{sigma}", {})
+    import numpy as np
+
+    ds = synthetic_dataset(num_samples=n, image_size=32, num_channels=3)
+    rs = np.random.RandomState(1)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32
+    imgs = np.empty((n, 32, 32, 3), np.float32)
+    labels = rs.randint(0, 10, size=(n,)).astype(np.int32)
+    for i in range(n):
+        fx, fy = 1 + labels[i] % 4, 1 + (labels[i] // 4) % 4
+        base = np.sin(2 * np.pi * (fx * xx + fy * yy) + rs.uniform(0, 6.28))
+        for ch in range(3):
+            imgs[i, :, :, ch] = np.clip(
+                0.7 * base + rs.normal(0, sigma, base.shape), -1, 1
+            )
+    del ds
+    for prune in (False, True):
+        tag = "pruned" if prune else "plain"
+        mod = LocalEquivScoreModule(
+            (imgs, labels), batch_size=256, precision="highest", prune=prune
+        )
+        if prune:
+            cb = mod._bank(k)
+            rad = np.asarray(
+                jnp.where(cb.stats.valid, cb.stats.radii, jnp.nan)
+            )
+            res["radius_p50"] = round(
+                float(np.nanpercentile(rad, 50)), 3
+            )
+        for t in (0.05, 0.10, 0.15):
+            key = f"{tag}/t{t:.2f}"
+            if key in res:
+                continue
+            x = marginal_x(t, batch)
+
+            def run(x):
+                return jnp.sum(mod(t, x, k=k))
+
+            dt = fence(run, x)
+            res[key] = {"sec": round(dt, 3)}
+            flush()
+        del mod
+    tot_p = sum(res[f"plain/t{t:.2f}"]["sec"] for t in (0.05, 0.10, 0.15))
+    tot_m = sum(res[f"pruned/t{t:.2f}"]["sec"] for t in (0.05, 0.10, 0.15))
+    res["speedup"] = round(tot_p / tot_m, 3)
+    flush()
+
+
 STAGES = {
     "ab_k3": stage_ab_k3,
     "ab_k5": stage_ab_k5,
     "skipfrac": stage_skipfrac,
     "e2e_fp32": stage_e2e_fp32,
+    "radii": stage_radii,
+    "lownoise": stage_lownoise,
 }
 
 if __name__ == "__main__":
