@@ -122,43 +122,58 @@ def kmeans_centers(sample: jnp.ndarray, n_centers: int, *, iters: int = 8,
     return centers
 
 
+def _seg_slices(n: int, seg: int):
+    return [(i, min(i + seg, n)) for i in range(0, n, seg)]
+
+
 def assign_clusters(bank: jnp.ndarray, centers: jnp.ndarray,
-                    B: int, d: int) -> jnp.ndarray:
+                    B: int, d: int, *, chunks_per_call: int = 64) -> jnp.ndarray:
     """Cluster id per bank row, chunk at a time. bank [nblk, B*d] compact
-    rows -> ids [nblk, B] int32."""
+    rows -> ids [nblk, B] int32. Dispatched in bounded slices of the chunk
+    axis: the full 50k assignment is ~10 bf16 TFLOP in one lax.map — a
+    single >60 s device execution, which the axon tunnel kills
+    (ops.dispatch rationale; same fix, host-level slicing)."""
     cn = jnp.sum(centers * centers, axis=1)
 
     @jax.jit
-    def run(bank):
+    def run(bank_s):
         def one(row):
             p = row.reshape(B, d)
             return jnp.argmin(
                 cn[None, :] - 2.0 * (p @ centers.T), axis=1
             ).astype(jnp.int32)
 
-        return jax.lax.map(one, bank)
+        return jax.lax.map(one, bank_s)
 
-    return run(bank)
+    nblk = bank.shape[0]
+    outs = [run(bank[i0:i1]) for i0, i1 in _seg_slices(nblk, chunks_per_call)]
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
-def permute_bank(bank: jnp.ndarray, perm: jnp.ndarray, B: int, d: int):
+def permute_bank(bank: jnp.ndarray, perm: jnp.ndarray, B: int, d: int,
+                 *, chunks_per_call: int = 64):
     """Gather bank rows into a new order WITHOUT materializing a padded
     [P, d] copy (T(8,128) pads d=27 to 128 lanes — 4.7x HBM bloat at the
     50k k=3 bank). The source stays the compact [nblk, B*d] layout viewed
     as one contiguous 1-D buffer; each output chunk gathers its B rows as
-    d-length strided segments."""
+    d-length strided segments. Host-sliced like assign_clusters: TPU
+    gathers at this index volume can exceed the tunnel's execution kill
+    in one call."""
     nblk = bank.shape[0]
     flat = bank.reshape(-1)  # contiguous: row r = flat[r*d:(r+1)*d]
 
     @jax.jit
-    def run(flat, perm):
+    def run(flat, perm_s):
         def one(perm_rows):  # [B] -> [B*d]
             idx = perm_rows[:, None] * d + jnp.arange(d)[None, :]
             return flat[idx.reshape(-1)]
 
-        return jax.lax.map(one, perm.reshape(nblk, B))
+        return jax.lax.map(one, perm_s)
 
-    return run(flat, perm)
+    perm2 = perm.reshape(nblk, B)
+    outs = [run(flat, perm2[i0:i1])
+            for i0, i1 in _seg_slices(nblk, chunks_per_call)]
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def gather_rows(bank: jnp.ndarray, ids: jnp.ndarray, d: int) -> jnp.ndarray:
