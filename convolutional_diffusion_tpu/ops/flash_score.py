@@ -145,7 +145,9 @@ def _kernel(
         s2_ref[:, :] = s2_in[:, :]
 
     if prune:
-        @pl.when(skip_ref[0, 0] == 0)
+        qi = pl.program_id(0)
+
+        @pl.when(skip_ref[qi, pj] == 0)
         def _():
             _kernel_body(
                 bias_ref, q_ref, k_ref, v_ref, scale_ref,
@@ -662,9 +664,12 @@ def flash_score_update(
     ]
     operands = [biasp, qp, bankp]
     if prune_mask is not None:
+        # whole-array SMEM operand (a (1,1) blocked spec does not lower on
+        # hardware Mosaic: block dims must divide (8,128) or equal the
+        # array's); the kernel indexes [qi, pj] directly — a few KB/call
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda qi, pj: (qi, pj),
-                         memory_space=pltpu.SMEM)
+            pl.BlockSpec((Mp // block_q, Pp // block_p),
+                         lambda qi, pj: (0, 0), memory_space=pltpu.SMEM)
         )
         operands.append(prune_mask.astype(jnp.int32))
     if vp is not None:

@@ -158,22 +158,27 @@ def permute_bank(bank: jnp.ndarray, perm: jnp.ndarray, B: int, d: int,
     as one contiguous 1-D buffer; each output chunk gathers its B rows as
     d-length strided segments. Host-sliced like assign_clusters: TPU
     gathers at this index volume can exceed the tunnel's execution kill
-    in one call."""
+    in one call. Each slice lands in a DONATED preallocated output via
+    dynamic_update_slice — the slice-list + concatenate variant held
+    source + slices + result (3 bank copies, 15.6 GB at the 50k k=3 bank)
+    and left the chip too full for the stats pass that follows."""
     nblk = bank.shape[0]
     flat = bank.reshape(-1)  # contiguous: row r = flat[r*d:(r+1)*d]
 
-    @jax.jit
-    def run(flat, perm_s):
+    def _run(out, flat, perm_s, i0):
         def one(perm_rows):  # [B] -> [B*d]
             idx = perm_rows[:, None] * d + jnp.arange(d)[None, :]
             return flat[idx.reshape(-1)]
 
-        return jax.lax.map(one, perm_s)
+        chunk = jax.lax.map(one, perm_s)
+        return jax.lax.dynamic_update_slice(out, chunk, (i0, 0))
 
+    run = jax.jit(_run, donate_argnums=0)
+    out = jnp.zeros_like(bank)
     perm2 = perm.reshape(nblk, B)
-    outs = [run(flat, perm2[i0:i1])
-            for i0, i1 in _seg_slices(nblk, chunks_per_call)]
-    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    for i0, i1 in _seg_slices(nblk, chunks_per_call):
+        out = run(out, flat, perm2[i0:i1], jnp.int32(i0))
+    return out
 
 
 def gather_rows(bank: jnp.ndarray, ids: jnp.ndarray, d: int) -> jnp.ndarray:

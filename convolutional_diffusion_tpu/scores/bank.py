@@ -195,9 +195,29 @@ def build_clustered_bank(
         permute_bank,
     )
 
+    import os
+    import time as _time
+
+    verbose = bool(os.environ.get("CDT_PRUNE_VERBOSE"))
+
+    def _fence(x):
+        # axon's block_until_ready returns early (CLAUDE.md); a 1-element
+        # device_get is the honest completion fence for diagnostics
+        if verbose:
+            jax.device_get(x.ravel()[:1])
+
+    def _tick(label, t0):
+        if verbose:
+            print(f"[clustered-bank] {label}: {_time.perf_counter()-t0:.1f}s",
+                  flush=True)
+        return _time.perf_counter()
+
     n, h, w, c = images.shape
     g = bank_geometry(n, h, w, c, k, target_block)
+    t0 = _time.perf_counter()
     bank, _, _ = build_bank(images, k, target_block)
+    _fence(bank)
+    t0 = _tick("build_bank", t0)
     total = g.nblk * g.block
     n_real = n * g.per_img  # rows from real (non-pad) images
 
@@ -209,14 +229,25 @@ def build_clustered_bank(
     # the first n slots, so prefix id == layout id until the pad chunk)
     sample = gather_rows(bank, sample_ids, g.d)
     centers = kmeans_centers(sample, n_centers, iters=kmeans_iters)
+    del sample
+    _fence(centers)
+    t0 = _tick("kmeans", t0)
     ids = assign_clusters(bank, centers, g.block, g.d)  # [nblk, B]
+    _fence(ids)
+    t0 = _tick("assign", t0)
     # pad-image rows (zero patches) sort wherever their cluster lands; their
     # weights are always zero and `row_valid` excludes them from stats
     perm = jnp.argsort(ids.reshape(-1), stable=True).astype(jnp.int32)
+    del ids
+    _fence(perm)
+    t0 = _tick("argsort", t0)
     bank_c = permute_bank(bank, perm, g.block, g.d)
+    del bank  # free the unsorted copy before the stats pass
+    _fence(bank_c)
+    t0 = _tick("permute", t0)
     src_img = (perm // g.block) * g.cs + (perm % g.block) // g.per_img
     img_idx = src_img.astype(jnp.int32).reshape(g.nblk, g.block)
-    del bank
+    del perm, src_img
 
     @jax.jit
     def derive(bank_c):
@@ -232,6 +263,8 @@ def build_clustered_bank(
     centers_c, pn_c = derive(bank_c)
     row_valid = img_idx < n
     stats = block_stats(bank_c, row_valid, g.block, g.d, block=PRUNE_BLOCK)
+    _fence(stats.radii)
+    _tick("derive+stats", t0)
     return ClusteredBank(bank_c, centers_c, pn_c, img_idx,
                          jax.tree_util.tree_map(jnp.asarray, stats))
 
