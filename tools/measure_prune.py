@@ -139,8 +139,14 @@ def stage_ab_k5():
     ab(5, 20000)
 
 
-def stage_skipfrac(n=50000, k=3, batch=8):
-    """Measured mask skip fraction per t (the quantity the A/B rides on)."""
+def stage_skipfrac(n=50000, k=3, batch=8, thrs=(None, 60.0)):
+    """Measured mask skip fraction per t (the quantity the A/B rides on),
+    at the production threshold (None -> THR=152, exact-underflow) AND at
+    THR=60 — the relaxed-but-still-provable setting (relative error
+    <= NP * 2^-60 ~= 2^-34 at the 50k bank): shows whether ANY provable
+    threshold unlocks skipping on this bank geometry. Non-default
+    thresholds key as t<val>/thr<thr>. One clustered-bank build serves
+    all thresholds."""
     from convolutional_diffusion_tpu.ops.flash_score import resolve_blocks
     from convolutional_diffusion_tpu.ops.prune import (
         logw_block_stats,
@@ -151,6 +157,13 @@ def stage_skipfrac(n=50000, k=3, batch=8):
     from convolutional_diffusion_tpu.scores.bank import bank_geometry
 
     res = OUT.setdefault(f"skipfrac_k{k}_n{n}", {})
+    todo = [
+        (thr, "" if thr is None else f"/thr{thr:g}") for thr in thrs
+        if not all(f"t{t:.2f}" + ("" if thr is None else f"/thr{thr:g}")
+                   in res for t in (0.05, 0.10, 0.15, 0.20, 0.30, 0.50))
+    ]
+    if not todo:
+        return
     mod = make_module(n, precision="highest", prune=True)
     cb = mod._bank(k)
     g = bank_geometry(n, 32, 32, 3, k, mod.target_block)
@@ -161,18 +174,19 @@ def stage_skipfrac(n=50000, k=3, batch=8):
     M = batch * 32 * 32
     bq, _ = resolve_blocks(M, g.block, g.d, "highest", "vpu")
     for t in (0.05, 0.10, 0.15, 0.20, 0.30, 0.50):
-        key = f"t{t:.2f}"
-        if key in res:
-            continue
         x = marginal_x(t, batch)
         beta = cosine_noise_schedule(jnp.float32(t))
         at, bt = jnp.sqrt(1.0 - beta), jnp.sqrt(beta)
         xq = extract_patches(pad_image(x, k // 2, "circular"), k).reshape(M, g.d)
         qn = jnp.sum(xq**2, axis=-1)
-        mk = prune_masks(xq, qn, at, bt, cb.stats, lmax, lmin, anyinc,
-                         block_q=bq)
-        res[key] = round(float(jnp.mean(mk.astype(jnp.float32))), 4)
-        flush()
+        for thr, suffix in todo:
+            key = f"t{t:.2f}{suffix}"
+            if key in res:
+                continue
+            mk = prune_masks(xq, qn, at, bt, cb.stats, lmax, lmin, anyinc,
+                             block_q=bq, thr=thr)
+            res[key] = round(float(jnp.mean(mk.astype(jnp.float32))), 4)
+            flush()
 
 
 def stage_e2e_fp32(n=50000, batch=8):
@@ -227,18 +241,15 @@ def stage_radii(n=50000, k=3):
     flush()
 
 
-def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
-    """Supplementary: the same A/B on a LOW-noise synthetic bank (patches
-    cluster below the window) — isolates the mechanism from the workload's
-    data distribution."""
-    from convolutional_diffusion_tpu.data import synthetic_dataset
-    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
-
-    res = OUT.setdefault(f"lownoise_k{k}_sigma{sigma}", {})
+def _sine_images(n, sigma, seed=1):
+    """A clustered image family: 16 (fx, fy) plane-wave patterns with
+    random per-image phase and per-pixel noise sigma. At sigma=0.05 the
+    50k k=3 clustered bank measures radius p50 = 0.38 (vs the default
+    synthetic family's iid-noise floor ~1.9) — the regime where the
+    triangle-inequality bounds can bite."""
     import numpy as np
 
-    ds = synthetic_dataset(num_samples=n, image_size=32, num_channels=3)
-    rs = np.random.RandomState(1)
+    rs = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32
     imgs = np.empty((n, 32, 32, 3), np.float32)
     labels = rs.randint(0, 10, size=(n,)).astype(np.int32)
@@ -249,9 +260,54 @@ def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
             imgs[i, :, :, ch] = np.clip(
                 0.7 * base + rs.normal(0, sigma, base.shape), -1, 1
             )
-    del ds
+    return imgs, labels
+
+
+def _marginal_from(imgs, t, batch, seed=7):
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+
+    beta = cosine_noise_schedule(jnp.float32(t))
+    eps = jax.random.normal(
+        jax.random.PRNGKey(seed + int(t * 1000)), (batch,) + imgs.shape[1:]
+    )
+    x = jnp.asarray(imgs[:batch])
+    return jnp.sqrt(1.0 - beta) * x + jnp.sqrt(beta) * eps
+
+
+def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
+    """Supplementary: the same A/B on a LOW-noise clustered bank — isolates
+    the mechanism from the workload's data distribution.
+
+    v1 of this stage (keys lownoise_k3_sigma0.05) drew queries from the
+    DEFAULT synthetic family — far from every cluster, so all blocks sit at
+    near-equal distance and nothing can prove underflow: 0.92x (pure mask
+    overhead). The honest regime is the reverse process's: at low t the
+    iterate is NEAR the bank's own manifold (dist_best small, other
+    clusters far), so v2 queries are the forward marginal over HELD-OUT
+    images of the same sine family. Skip fractions are recorded alongside
+    the times so the result is attributable either way."""
+    from convolutional_diffusion_tpu.ops.flash_score import resolve_blocks
+    from convolutional_diffusion_tpu.ops.patches import extract_patches, pad_image
+    from convolutional_diffusion_tpu.ops.prune import (
+        logw_block_stats,
+        prune_masks,
+    )
+    from convolutional_diffusion_tpu.schedules import cosine_noise_schedule
+    from convolutional_diffusion_tpu.scores import LocalEquivScoreModule
+    from convolutional_diffusion_tpu.scores.bank import bank_geometry
+
+    res = OUT.setdefault(f"lownoise2_k{k}_sigma{sigma}", {})
+    import numpy as np
+
+    imgs, labels = _sine_images(n, sigma, seed=1)
+    qimgs, _ = _sine_images(batch, sigma, seed=2)  # held-out, same family
+    ts = (0.05, 0.10, 0.15)
     for prune in (False, True):
         tag = "pruned" if prune else "plain"
+        if all(f"{tag}/t{t:.2f}" in res for t in ts) and (
+            not prune or "skip/t0.05" in res
+        ):
+            continue
         mod = LocalEquivScoreModule(
             (imgs, labels), batch_size=256, precision="highest", prune=prune
         )
@@ -260,14 +316,35 @@ def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
             rad = np.asarray(
                 jnp.where(cb.stats.valid, cb.stats.radii, jnp.nan)
             )
-            res["radius_p50"] = round(
-                float(np.nanpercentile(rad, 50)), 3
-            )
-        for t in (0.05, 0.10, 0.15):
+            res["radius_p50"] = round(float(np.nanpercentile(rad, 50)), 3)
+            # measured skip fraction with the SAME masks the module builds
+            g = bank_geometry(n, 32, 32, 3, k, mod.target_block)
+            w_img = jnp.full((g.nblk * g.cs,), 1.0, jnp.float32)
+            w_img = w_img.at[n:].set(0.0)
+            w_img = w_img / jnp.sum(w_img) / g.per_img
+            w_b = w_img[cb.img_idx.reshape(-1)].reshape(g.nblk, g.block)
+            lmax, lmin, anyinc = logw_block_stats(w_b, g.block)
+            M = batch * 32 * 32
+            bq, _ = resolve_blocks(M, g.block, g.d, "highest", "vpu")
+            for t in ts:
+                beta = cosine_noise_schedule(jnp.float32(t))
+                at, bt = jnp.sqrt(1.0 - beta), jnp.sqrt(beta)
+                x = _marginal_from(qimgs, t, batch)
+                xq = extract_patches(
+                    pad_image(x, k // 2, "circular"), k
+                ).reshape(M, g.d)
+                qn = jnp.sum(xq**2, axis=-1)
+                mk = prune_masks(xq, qn, at, bt, cb.stats, lmax, lmin,
+                                 anyinc, block_q=bq)
+                res[f"skip/t{t:.2f}"] = round(
+                    float(jnp.mean(mk.astype(jnp.float32))), 4
+                )
+                flush()
+        for t in ts:
             key = f"{tag}/t{t:.2f}"
             if key in res:
                 continue
-            x = marginal_x(t, batch)
+            x = _marginal_from(qimgs, t, batch)
 
             def run(x):
                 return jnp.sum(mod(t, x, k=k))
@@ -276,8 +353,8 @@ def stage_lownoise(n=50000, k=3, batch=8, sigma=0.05):
             res[key] = {"sec": round(dt, 3)}
             flush()
         del mod
-    tot_p = sum(res[f"plain/t{t:.2f}"]["sec"] for t in (0.05, 0.10, 0.15))
-    tot_m = sum(res[f"pruned/t{t:.2f}"]["sec"] for t in (0.05, 0.10, 0.15))
+    tot_p = sum(res[f"plain/t{t:.2f}"]["sec"] for t in ts)
+    tot_m = sum(res[f"pruned/t{t:.2f}"]["sec"] for t in ts)
     res["speedup"] = round(tot_p / tot_m, 3)
     flush()
 
