@@ -87,7 +87,34 @@ def e2e(batch=8, n=50000):
     flush()
 
 
-STAGES = {"refresh_k19": refresh_k19, "e2e": e2e}
+def e2e_warm(batch=8, n=50000):
+    """Round 4's cold e2e landed 6.5% under the per-k prediction, attributed
+    to ~19 first-dispatch tunnel hits (CLAUDE.md time-to-first-result noise).
+    This stage removes the attribution from the record: one full warmup
+    machine call primes every step program's first dispatch, then ONE timed
+    call measures the steady state the prediction models."""
+    from convolutional_diffusion_tpu.scores import ScheduledScoreMachine
+
+    res = OUT.setdefault("celeba64", {})
+    if "high/b8_e2e_warm_machine_ips" in res:
+        print("e2e_warm already measured:", res["high/b8_e2e_warm_machine_ips"])
+        return
+    mod = make_module(n, precision="high", imsize=64)
+    machine = ScheduledScoreMachine(
+        mod, in_channels=3, imsize=64, scales=CELEBA64_SCALES
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 64, 64, 3))
+    jax.device_get(machine(x).sum())  # warmup: primes all 20 step programs
+    t0 = time.perf_counter()
+    out = jax.device_get(machine(x).sum())
+    dt = time.perf_counter() - t0
+    res["high/b8_e2e_warm_machine_sec"] = round(dt, 1)
+    res["high/b8_e2e_warm_machine_ips"] = round(batch / dt, 5)
+    res["high/b8_e2e_warm_machine_out_finite"] = bool(out == out)
+    flush()
+
+
+STAGES = {"refresh_k19": refresh_k19, "e2e": e2e, "e2e_warm": e2e_warm}
 
 if __name__ == "__main__":
     for name in sys.argv[1:] or ["refresh_k19", "e2e"]:
