@@ -35,6 +35,14 @@ def init_distributed() -> int:
     process count 1) when the standard coordinator env vars are absent, so
     single-host code paths need no changes.
 
+    Launcher contract: `JAX_COORDINATOR_ADDRESS` (or `COORDINATOR_ADDRESS`)
+    names the rank-0 endpoint; `JAX_NUM_PROCESSES`/`JAX_PROCESS_ID` are
+    passed through explicitly when set (manual launchers, and the 2-process
+    CPU test in tests/test_multihost.py), otherwise jax's cluster
+    auto-detection fills them (SLURM/OpenMPI/TPU pods). On the CPU backend
+    cross-process collectives need the gloo transport, which is off by
+    default — selected here before backend init.
+
     Sharding layout note (SURVEY §5): keep the 'data' axis ordered so
     consecutive mesh positions are intra-host — the streaming-softmax merge
     (one pmax + two psums) and the gradient psum then ride ICI within a
@@ -43,12 +51,25 @@ def init_distributed() -> int:
     """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return jax.process_count()
-    return 1
+    )
+    if not addr:
+        return 1
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older jax: single transport, nothing to select
+            pass
+    kw = {"coordinator_address": addr}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None:
+        kw["num_processes"] = int(nproc)
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    jax.distributed.initialize(**kw)
+    return jax.process_count()
 
 
 def make_mesh(
