@@ -343,8 +343,9 @@ def main():
         "",
         "Max deviations against golden outputs recorded by RUNNING the",
         "reference (/root/reference) on fixed inputs (tools/make_goldens.py).",
-        "All runs fp32 `precision='highest'`. Target: <1e-3 relative",
-        "(BASELINE.md); regenerate with `python tools/parity_report.py`.",
+        "All runs fp32 `precision='highest'`. Target: <1e-3 relative-to-scale",
+        "(normative convention + rationale: BASELINE.md \"Parity-deviation",
+        "convention\"); regenerate with `python tools/parity_report.py`.",
         "",
         "| component | case | max abs dev | max rel-to-scale dev |",
         "|---|---|---|---|",
