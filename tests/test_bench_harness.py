@@ -56,3 +56,63 @@ def test_els_machine_kind(kind):
     m = bench._els_machine(kind, 16, 16, "highest")
     name = type(m.backbone).__name__
     assert ("Borders" in name) == (kind == "bbELS")
+
+
+def test_els_suite_covers_required_keys():
+    # the driver-profile suite must carry the BASELINE.json metric-2 family:
+    # both ELS tiers, one bbELS key, the MNIST 60k bank, and b32 capacity
+    tags = [row[0] for row in bench.ELS_SUITE]
+    assert "els_20step_50kbank_images_per_sec_bf16x3" in tags
+    assert "els_20step_50kbank_images_per_sec_fp32" in tags
+    assert any(t.startswith("bbels_") for t in tags)
+    assert any("mnist" in t for t in tags)
+    assert any("capacity_b32" in t for t in tags)
+    # expensive b32 row last: a budget truncation drops the least-new key
+    assert "capacity_b32" in tags[-1]
+
+
+def test_els_suite_streams_skip_lines_under_zero_budget():
+    """The parent folds suite lines into details AS THEY ARRIVE; with a zero
+    budget every item must stream a {"tag", "skipped"} line and exit 0 —
+    pins the streaming contract without paying any machine compute."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_SUITE_BUDGET_S="0")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "bench.py"), "--els-suite"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [_json.loads(ln) for ln in proc.stdout.strip().splitlines() if ln]
+    assert [d["tag"] for d in lines] == [row[0] for row in bench.ELS_SUITE]
+    assert all("skipped" in d for d in lines)
+
+
+def test_prime_machine_matches_unprimed_call():
+    """_prime_machine dispatches one backbone call per distinct k (skipping
+    the never-executed scales[0]) and must not perturb the subsequent timed
+    machine call: primed == fresh bit-for-bit."""
+    import jax
+    import numpy as np
+
+    from convolutional_diffusion_tpu.data import synthetic_dataset
+    from convolutional_diffusion_tpu.scores import (
+        LocalEquivScoreModule,
+        ScheduledScoreMachine,
+    )
+
+    ds = synthetic_dataset(num_samples=8, image_size=12, num_channels=1)
+    scales = [7, 3, 5, 3]  # scales[0]=7 is never executed by the machine
+
+    def make():
+        mod = LocalEquivScoreModule((ds.images, ds.labels), batch_size=8)
+        return ScheduledScoreMachine(mod, in_channels=1, imsize=12,
+                                     scales=scales)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 12, 1))
+    primed = make()
+    bench._prime_machine(primed, x)
+    fresh = make()
+    np.testing.assert_array_equal(np.asarray(primed(x)), np.asarray(fresh(x)))
