@@ -15,9 +15,14 @@ with the repo's calibrated CIFAR10 scales — the els_script.py:44 workload —
 at BOTH tiers (bf16x3 'high' throughput AND fp32 'highest' parity), plus the
 MNIST 60k-bank machine and the b32 per-chip capacity row (one streaming
 --els-suite subprocess, see bench_els_suite). The default profile self-limits
-to BENCH_TOTAL_BUDGET_S (~35 min) so it exits rc=0 inside the driver's wall
-cap; BENCH_FULL=1 adds the extended tail (fast tier, fp32 bbELS, bbELS
-capacity, BENCH_CELEBA64 for the 64x64 machine).
+to BENCH_TOTAL_BUDGET_S (2550 s ~= 42 min — the r04 driver window covered
+36+ min of work before its external kill) so it exits rc=0 inside the
+driver's wall cap, and orders stages by information value so a slow-tunnel
+day truncates the least-new keys first: headline DDPM -> the five-machine
+ELS suite -> calibration -> cheap regression repeats (fp32 DDPM, train,
+capacity, 64x64 DDPM — all already in BENCH_r03/r04). BENCH_FULL=1 adds the
+extended tail (fast tier, fp32 bbELS, bbELS capacity, BENCH_CELEBA64 for
+the 64x64 machine).
 
 `vs_baseline` compares against the torch reference measured on this host by
 tools/bench_reference.py (stored in BASELINE_MEASURED.json); null when that
@@ -203,46 +208,69 @@ def _prime_machine(machine, x):
     distinct k dispatches exactly the programs the timed 20-step call will
     reuse, at ~40% of a full warmup machine call (the k-repeat steps are
     free). scales[0] is skipped: the machine loop runs i = nsteps-1 .. 1 and
-    never evaluates scales[0] (machine.py step loop / idealscore.py:88)."""
+    never evaluates scales[0] (machine.py step loop / idealscore.py:88).
+
+    The backbone calls do NOT touch the machine's eager step-glue programs
+    (schedule scalars, eps scaling, ddim_step, jnp.full, the .sum fence) —
+    a 2-step machine call at scales[1] (the cheapest k) primes those too.
+    Measured round 5: without it the FIRST suite item pays the glue's
+    tunnel first-dispatch inside its timed call (0.1023 vs 0.1199 img/s
+    on the flagship ELS key)."""
     import numpy as _np
 
     for k in sorted(set(machine.scales[1:])):
         _np.asarray(jax.device_get(machine.backbone(0.5, x, k=k).sum()))
+    _np.asarray(jax.device_get(machine(x, nsteps=2).sum()))
 
 
 # (tag, kind, precision, seed batch, workload, est. warm-path seconds).
-# Ordered by information value: the three never-yet-in-a-driver-artifact
-# parity/coverage keys first, the expensive b32 capacity row last so a
-# deadline truncation costs the least-new information. Estimates are the
-# measured per-call rates (PERFORMANCE.md / tools/measure_round3_out.json)
-# plus bank-build + prime overhead, used ONLY for deadline gating.
+# Ordered by information value under a slow-tunnel deadline truncation
+# (the round-5 rehearsal lost its tail to one): the fp32-parity ELS and
+# bbELS keys first (VERDICT r4 ask #1 — never yet in a driver artifact),
+# then the flagship bf16x3 key (continuity with BENCH_r04), then the b32
+# capacity row ADJACENT to it (same module config -> the suite reuses the
+# machine and skips a 50k bank rebuild), the cheap MNIST row last (most
+# likely to still fit late). Estimates are the measured per-call rates
+# (PERFORMANCE.md / tools/measure_round3_out.json) plus bank-build + prime
+# overhead, used ONLY for deadline gating.
 ELS_SUITE = [
-    ("els_20step_50kbank_images_per_sec_bf16x3", "ELS", "high", 8, "32", 300),
-    ("els_20step_50kbank_images_per_sec_fp32", "ELS", "highest", 8, "32", 300),
-    ("bbels_20step_50kbank_images_per_sec_bf16x3", "bbELS", "high", 8, "32", 330),
-    ("els_20step_60kbank_mnist_images_per_sec_bf16x3", "ELS", "high", 8, "mnist", 180),
-    ("els_20step_50kbank_capacity_b32_images_per_sec_bf16x3", "ELS", "high", 32, "32", 480),
+    ("els_20step_50kbank_images_per_sec_fp32", "ELS", "highest", 8, "32", 330),
+    ("bbels_20step_50kbank_images_per_sec_bf16x3", "bbELS", "high", 8, "32", 360),
+    ("els_20step_50kbank_images_per_sec_bf16x3", "ELS", "high", 8, "32", 330),
+    ("els_20step_50kbank_capacity_b32_images_per_sec_bf16x3", "ELS", "high", 32, "32", 400),
+    ("els_20step_60kbank_mnist_images_per_sec_bf16x3", "ELS", "high", 8, "mnist", 210),
 ]
 
 
 def bench_els_suite():
     """All driver-profile analytic-machine keys in ONE subprocess, streaming
-    one JSON line per completed measurement ({"tag", "value"} — the parent
-    folds them into `details` as they arrive, so a wall-clock kill loses only
-    the unfinished tail). Sharing the process amortizes interpreter + backend
-    startup and the tunnel's time-to-first-result noise across five keys
-    (five separate --els-only subprocesses each pay ~2-6 min of it).
+    one JSON line per completed measurement ({"tag", "value", "sec"} — the
+    parent folds them into `details` as they arrive, so a wall-clock kill
+    loses only the unfinished tail). Sharing the process amortizes
+    interpreter + backend startup and the tunnel's time-to-first-result
+    noise across five keys (five separate --els-only subprocesses each pay
+    ~2-6 min of it).
 
-    Each item: build module+machine, prime the per-k programs
-    (_prime_machine), ONE timed full 20-step machine call, then free the
-    machine before the next item (four per-k HBM bank sets live at once
-    would flirt with the 16 GB chip budget). BENCH_SUITE_BUDGET_S bounds the
-    whole suite: items whose estimate no longer fits are reported skipped."""
+    Each item: build module+machine (REUSED when consecutive items share the
+    same (kind, precision, workload, n_train) config — the b8 flagship and
+    b32 capacity rows share one 50k bank build), prime the per-k programs
+    AND the eager step-glue (_prime_machine), ONE timed full 20-step machine
+    call. At most one machine is alive at a time (several per-k HBM bank
+    sets at once would flirt with the 16 GB chip budget).
+    BENCH_SUITE_BUDGET_S bounds the whole suite: items whose estimate no
+    longer fits are reported skipped. BENCH_SUITE_ITEMS (comma-separated
+    exact tags) restricts the run for targeted re-measurement."""
     import numpy as _np
 
     budget = float(os.environ.get("BENCH_SUITE_BUDGET_S", 1e9))
+    only = os.environ.get("BENCH_SUITE_ITEMS")
+    only = {t.strip() for t in only.split(",")} if only else None
     deadline = time.perf_counter() + budget
+    machine = None
+    machine_key = None
     for tag, kind, precision, batch, workload, est in ELS_SUITE:
+        if only is not None and tag not in only:
+            continue
         if time.perf_counter() + est > deadline:
             print(json.dumps({"tag": tag, "skipped": "over suite budget"}),
                   flush=True)
@@ -250,17 +278,23 @@ def bench_els_suite():
         try:
             imsize, channels, n_default, _ = ELS_WORKLOADS[workload]
             n_train = int(os.environ.get("BENCH_ELS_NTRAIN", n_default))
-            machine = _els_machine(kind, n_train, 256, precision,
-                                   workload=workload)
+            key = (kind, precision, workload, n_train)
+            if machine_key != key:
+                machine = None  # free the old banks before building new ones
+                machine = _els_machine(kind, n_train, 256, precision,
+                                       workload=workload)
+                machine_key = key
             x = jax.random.normal(jax.random.PRNGKey(3),
                                   (batch, imsize, imsize, channels))
             _prime_machine(machine, x)
             t0 = time.perf_counter()
             _np.asarray(jax.device_get(machine(x).sum()))
             dt = time.perf_counter() - t0
-            print(json.dumps({"tag": tag, "value": batch / dt}), flush=True)
-            del machine
+            print(json.dumps({"tag": tag, "value": batch / dt,
+                              "sec": round(dt, 1)}), flush=True)
         except Exception as e:  # pragma: no cover
+            machine = None
+            machine_key = None
             print(json.dumps({"tag": tag, "error": repr(e)[:300]}),
                   flush=True)
 
@@ -365,6 +399,10 @@ def main():
     t_main = time.perf_counter()
 
     def emit(headline_ips):
+        # elapsed-since-main per emit: lets a truncated artifact show where
+        # the wall clock went (the r04->r05 profile sizing had to be
+        # reconstructed from builder logs without this)
+        details["bench_elapsed_s"] = int(time.perf_counter() - t_main)
         print(
             json.dumps(
                 {
@@ -442,7 +480,7 @@ def main():
     # stage is gated on a measured warm-path cost estimate and skipped (with
     # a *_skipped note) once it no longer fits, so the process exits rc=0
     # with a complete artifact instead of being killed mid-measurement.
-    budget_s = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2100))
+    budget_s = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2550))
     deadline = t_main + budget_s
 
     def remaining():
@@ -475,10 +513,12 @@ def main():
     # MNIST 60k-bank machine, and the b32 per-chip capacity row). One
     # streaming subprocess measures all five (see bench_els_suite); results
     # are folded into `details` and re-emitted AS THEY ARRIVE, so even a
-    # driver kill mid-suite keeps every completed key. The suite's budget
-    # reserves ~320 s for the calibration stage behind it.
+    # driver kill mid-suite keeps every completed key. The suite gets ALL
+    # remaining budget: on a slow-tunnel day these five keys outrank every
+    # stage behind them (calibration and the cheap tail are regression
+    # repeats of keys already in BENCH_r03/r04).
     def run_els_suite():
-        suite_budget = max(0.0, remaining() - 320.0)
+        suite_budget = max(0.0, remaining() - 20.0)
         env = dict(os.environ, BENCH_SUITE_BUDGET_S=str(suite_budget))
         proc = subprocess.Popen(
             [_sys.executable, os.path.abspath(__file__), "--els-suite"],
@@ -503,6 +543,8 @@ def main():
                     continue
                 if "value" in sub:
                     details[tag] = round(float(sub["value"]), 4)
+                    if "sec" in sub:  # wall s per key: sizes future profiles
+                        details[tag + "_wall_s"] = int(sub["sec"])
                 elif "skipped" in sub:
                     details[tag + "_skipped"] = sub["skipped"]
                 else:
@@ -515,12 +557,16 @@ def main():
     run_els_suite()
 
     # Scales calibration, full README recipe — the BASELINE.json north-star
-    # redesign (~130 s warm; the reference runs 10 seeds x 20 steps x 9
-    # sequential full-dataset sweeps for the same artifact).
+    # redesign (~130 s warm / 214.7 s in the r04 driver artifact; the
+    # reference runs 10 seeds x 20 steps x 9 sequential full-dataset sweeps
+    # for the same artifact). Runs AFTER the suite: it already has a driver
+    # record, the suite keys don't. The timeout is capped at 900 s so a
+    # slow-tunnel anomaly (712 s timeout observed in the round-5 rehearsal)
+    # can't eat the whole remaining window.
     if remaining() > 80:
         run_subproc(["--calib-only"], "calibration_full_recipe_seconds",
                     min(remaining() + 60,
-                        float(os.environ.get("BENCH_CALIB_TIMEOUT_S", 1800))))
+                        float(os.environ.get("BENCH_CALIB_TIMEOUT_S", 900))))
     else:
         details["calibration_full_recipe_seconds_skipped"] = "over budget"
         emit(ddpm_ips)

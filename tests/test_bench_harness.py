@@ -67,8 +67,16 @@ def test_els_suite_covers_required_keys():
     assert any(t.startswith("bbels_") for t in tags)
     assert any("mnist" in t for t in tags)
     assert any("capacity_b32" in t for t in tags)
-    # expensive b32 row last: a budget truncation drops the least-new key
-    assert "capacity_b32" in tags[-1]
+    # information-value order under deadline truncation: the fp32-parity
+    # key (never in a driver artifact before r05) leads
+    assert tags[0].endswith("_fp32")
+    # the b8 flagship and b32 capacity rows are adjacent AND share the
+    # machine config, so the suite reuses one 50k bank build
+    i_b8 = tags.index("els_20step_50kbank_images_per_sec_bf16x3")
+    i_b32 = tags.index("els_20step_50kbank_capacity_b32_images_per_sec_bf16x3")
+    assert i_b32 == i_b8 + 1
+    r8, r32 = bench.ELS_SUITE[i_b8], bench.ELS_SUITE[i_b32]
+    assert (r8[1], r8[2], r8[4]) == (r32[1], r32[2], r32[4])
 
 
 def test_els_suite_streams_skip_lines_under_zero_budget():
@@ -91,10 +99,31 @@ def test_els_suite_streams_skip_lines_under_zero_budget():
     assert all("skipped" in d for d in lines)
 
 
+def test_els_suite_items_filter():
+    """BENCH_SUITE_ITEMS restricts the suite to the named tags (targeted
+    re-measurement); unnamed items are silently omitted, not 'skipped'."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pick = bench.ELS_SUITE[1][0]
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_SUITE_BUDGET_S="0",
+               BENCH_SUITE_ITEMS=pick)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "bench.py"), "--els-suite"],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [_json.loads(ln) for ln in proc.stdout.strip().splitlines() if ln]
+    assert [d["tag"] for d in lines] == [pick]
+
+
 def test_prime_machine_matches_unprimed_call():
     """_prime_machine dispatches one backbone call per distinct k (skipping
-    the never-executed scales[0]) and must not perturb the subsequent timed
-    machine call: primed == fresh bit-for-bit."""
+    the never-executed scales[0]) plus one 2-step machine call for the eager
+    step-glue, and must not perturb the subsequent timed machine call:
+    primed == fresh bit-for-bit."""
     import jax
     import numpy as np
 
