@@ -455,6 +455,38 @@ def main():
                     return
                 time.sleep(30)
 
+    # Post-probe wedge watchdog. Observed round 5 on hardware: the probe
+    # succeeded, then the tunnel died DURING the in-process headline phase
+    # and the blocked device_get hung the harness for 40+ min — the driver
+    # would have recorded rc=124 with value 0.0. Subprocess stages are
+    # already bounded; this covers the in-process ones (headline, gated
+    # tail): if main() is still alive well past the self-budget, emit the
+    # completed keys with an honest note and exit 0 from the timer thread
+    # (the wedged main thread is blocked in a device_get and cannot be
+    # interrupted; it is also not writing to stdout, so the watchdog's
+    # single buffered write cannot tear a line). Disabled under BENCH_FULL
+    # (the opt-in extended tail intentionally runs past the budget).
+    import threading as _threading
+
+    watchdog_s = float(
+        os.environ.get(
+            "BENCH_WATCHDOG_S",
+            1e9 if os.environ.get("BENCH_FULL")
+            else float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2550)) + 240.0,
+        )
+    )
+
+    def _watchdog_fire():
+        details["watchdog_fired"] = (
+            f"in-process stage still running {int(time.perf_counter() - t_main)}s "
+            "in (wedged tunnel?) — emitting completed keys and exiting 0")
+        emit(details.get("ddpm_1000step_images_per_sec_bf16mxu", 0.0))
+        os._exit(0)
+
+    _watchdog = _threading.Timer(watchdog_s, _watchdog_fire)
+    _watchdog.daemon = True
+    _watchdog.start()
+
     # Headline: bf16-MXU (TPU-native), 3 fenced iterations.
     ddpm_ips, tflops = bench_ddpm(precision=None)
     details["ddpm_1000step_images_per_sec_bf16mxu"] = round(ddpm_ips, 3)
@@ -625,6 +657,8 @@ def main():
         for kind, precision, batch, workload, tag in variants:
             run_subproc(["--els-only", kind, precision, str(batch), workload],
                         tag, float(os.environ.get("BENCH_ELS_TIMEOUT_S", 3600)))
+
+    _watchdog.cancel()
 
 
 if __name__ == "__main__":

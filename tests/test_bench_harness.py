@@ -119,7 +119,26 @@ def test_els_suite_items_filter():
     assert [d["tag"] for d in lines] == [pick]
 
 
-def test_prime_machine_matches_unprimed_call():
+def test_watchdog_emits_and_exits_zero():
+    """A wedged in-process stage (observed round 5: the tunnel died during
+    the headline's device_get and hung the harness 40+ min) must not turn
+    into rc=124/value-0.0: the post-probe watchdog emits the completed keys
+    with an honest note and exits 0 from its timer thread."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # big CPU headline so the watchdog (1 s) fires mid-measurement
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_WATCHDOG_S="1",
+               BENCH_DDPM_BATCH="64", BENCH_DDPM_STEPS="1000")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    last = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "watchdog_fired" in last["details"], last
     """_prime_machine dispatches one backbone call per distinct k (skipping
     the never-executed scales[0]) plus one 2-step machine call for the eager
     step-glue, and must not perturb the subsequent timed machine call:
